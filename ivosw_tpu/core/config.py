@@ -1,0 +1,162 @@
+"""Config system: typed dataclasses + YAML + ``key=value`` CLI overrides.
+
+Mirrors the reference's sacred+YAML+easydict stack (reference:
+``configs/config.yaml:1-48``, ``eval_agent_atnet.py:47-56``) with a plain,
+dependency-free design: one frozen-by-convention dataclass tree, a YAML
+loader, and dotted-path overrides (``agent.lr=1e-5``) equivalent to sacred's
+``with key=value`` syntax (reference ``README.md:64``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class DataConfig:
+    # reference: configs/config.yaml:11-16
+    num_workers: int = 2
+    root_dir_davis: str = "data/DAVIS"
+    root_dir_scribble_youtube_vos: str = "data/Scribble_Youtube_VOS"
+    subset: str = "train"
+    len_subseq: int = 25
+
+
+@dataclass
+class DavisInteractiveConfig:
+    # reference: configs/config.yaml:17-22
+    metric: str = "J_AND_F"  # J | F | J_AND_F
+    allow_repeat: int = 1
+    max_nb_interactions: int = 5
+    max_time_per_interaction: int = 0
+    combine_th: float = 0.4
+
+
+@dataclass
+class AssessNetConfig:
+    # reference: configs/config.yaml:23-30
+    num_epochs: int = 50
+    lr: float = 5e-6
+    gamma: float = 0.95
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    train_batch_size: int = 32
+    num_workers: int = 12
+
+
+@dataclass
+class AgentConfig:
+    # reference: configs/config.yaml:31-48
+    save_result_dir: str = "train"
+    reward_csv: str = "reward.csv"
+    pretrain_csv: str = "pretrain.csv"
+    sample_th: float = 0.05
+    optimizer: str = "adam"
+    lr: float = 5e-6
+    lr_pow: float = 0.9
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    memory_size: int = 100000
+    gamma: float = 0.95
+    eps_start: float = 0.7
+    eps_end: float = 0.25
+    eps_k: int = 5
+    eps_decay: int = 500
+    update_rate: float = 0.05
+    train_batch_size: int = 32
+
+
+@dataclass
+class Config:
+    # reference: configs/config.yaml:1-9
+    seed: int = 0
+    gpu_id: int = 0  # kept for config-surface parity; unused on TPU
+    phase: str = "eval"  # baseline | pretrain | train | eval
+    setting: str = "wild"  # oracle | wild
+    method: str = "ours"  # ours | worst | random | linspace
+    num_epochs: int = 1
+    dataset: str = "davis"  # davis | ytbvos
+    ckpt_dir: str = "weights"
+    vos: str = "tapnet"  # tapnet | matchnet | ipnet | fake (JAX-native backbones)
+
+    data: DataConfig = field(default_factory=DataConfig)
+    davis_interactive: DavisInteractiveConfig = field(
+        default_factory=DavisInteractiveConfig
+    )
+    assess_net: AssessNetConfig = field(default_factory=AssessNetConfig)
+    agent: AgentConfig = field(default_factory=AgentConfig)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def _coerce(value: str, target_type: type) -> Any:
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    return value
+
+
+def apply_override(cfg: Config, dotted_key: str, value: Any) -> None:
+    """Set ``cfg.a.b.c = value`` with type coercion from the field type."""
+    parts = dotted_key.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise KeyError(f"unknown config key: {dotted_key}")
+    current = getattr(obj, leaf)
+    if isinstance(value, str) and current is not None:
+        value = _coerce(value, type(current))
+    setattr(obj, leaf, value)
+
+
+def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
+    """Apply ``key=value`` CLI overrides (sacred ``with`` equivalent)."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override must be key=value, got: {item!r}")
+        key, value = item.split("=", 1)
+        apply_override(cfg, key.strip(), value.strip())
+    return cfg
+
+
+def _update_dataclass(obj: Any, data: Dict[str, Any]) -> None:
+    for key, value in data.items():
+        if not hasattr(obj, key):
+            raise KeyError(f"unknown config key: {key}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _update_dataclass(current, value)
+        else:
+            setattr(obj, key, value)
+
+
+def load_config(
+    yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None
+) -> Config:
+    """Build a Config from an optional YAML file plus CLI overrides."""
+    cfg = Config()
+    if yaml_path is not None and os.path.exists(yaml_path):
+        import yaml
+
+        with open(yaml_path) as fp:
+            data = yaml.safe_load(fp) or {}
+        _update_dataclass(cfg, data)
+    if overrides:
+        apply_overrides(cfg, overrides)
+    return cfg

@@ -1,0 +1,101 @@
+"""Seeding, meters, timers, logging.
+
+Capability parity with reference ``utils/misc.py:11-38`` (set_random_seed,
+AverageMeter) and the per-driver stream-logger factory
+(``eval_agent_atnet.py:36-44``). JAX has no global RNG; we seed numpy/random
+for host-side decisions and hand out an explicit ``jax.random`` key chain.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def set_random_seed(seed: int) -> "np.random.Generator":
+    """Seed host RNGs. Returns a numpy Generator for stream-local randomness.
+
+    Reference (utils/misc.py:11-15) seeds numpy/random/torch/cuda globals.
+    On TPU the device RNG is explicit (jax.random keys, see rng_chain), so
+    only the host globals need seeding here.
+    """
+    np.random.seed(seed)
+    random.seed(seed)
+    return np.random.default_rng(seed)
+
+
+def rng_chain(seed: int):
+    """Infinite deterministic stream of jax.random keys from one seed."""
+    import jax
+
+    key = jax.random.PRNGKey(seed)
+    while True:
+        key, sub = jax.random.split(key)
+        yield sub
+
+
+class AverageMeter:
+    """Running average tracker (reference utils/misc.py:18-38)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+class PhaseTimer:
+    """Wall-clock phase timer that blocks on device completion.
+
+    The reference brackets phases with bare time.time() calls
+    (eval_agent_atnet.py:196-197,277-304). On TPU, dispatch is async, so a
+    correct timer must block_until_ready before reading the clock.
+    """
+
+    def __init__(self, sync: bool = True):
+        self.sync = sync
+        self.meters = {}
+
+    def _now(self, result=None) -> float:
+        if self.sync and result is not None:
+            import jax
+
+            jax.block_until_ready(result)
+        return time.perf_counter()
+
+    def start(self) -> float:
+        return time.perf_counter()
+
+    def stop(self, name: str, tic: float, result=None) -> float:
+        elapsed = self._now(result) - tic
+        self.meters.setdefault(name, AverageMeter()).update(elapsed)
+        return elapsed
+
+    def summary(self) -> dict:
+        return {k: {"avg": m.avg, "count": m.count} for k, m in self.meters.items()}
+
+
+def create_stream_logger(
+    name: str = "ivosw_tpu", fmt: str = "%(name)s - %(message)s"
+) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers = []
+    ch = logging.StreamHandler()
+    ch.setFormatter(logging.Formatter(fmt))
+    logger.addHandler(ch)
+    logger.propagate = False
+    return logger
