@@ -119,9 +119,19 @@ def roi_crop(
     ry = _interp_matrix(ymin, ymax, h, out_size).astype(dtype)  # [B, s, H]
     rx = _interp_matrix(xmin, xmax, w, out_size).astype(dtype)  # [B, s, W]
     img = images.astype(dtype)
+    # float32 inputs keep full-precision MXU accumulation (the TPU default
+    # would silently drop to bf16 multiplicands); an explicit bf16 dtype is
+    # the caller's opt-in fast path.
+    precision = (
+        jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
     # [B,s,H] @ [B,H,W*C] -> [B,s,W,C]; then contract W with Rx
-    tmp = jnp.einsum("bsh,bhwc->bswc", ry, img, preferred_element_type=dtype)
-    out = jnp.einsum("btw,bswc->bstc", rx, tmp, preferred_element_type=dtype)
+    tmp = jnp.einsum(
+        "bsh,bhwc->bswc", ry, img, precision=precision, preferred_element_type=dtype
+    )
+    out = jnp.einsum(
+        "btw,bswc->bstc", rx, tmp, precision=precision, preferred_element_type=dtype
+    )
     return out
 
 

@@ -55,6 +55,99 @@ def brain_params_from_torch(state_dict: Dict):
     }
 
 
+def _conv_kernel(t) -> np.ndarray:
+    """torch OIHW → flax HWIO."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def assess_variables_from_torch(state_dict: Dict, encoder_prefix: str = "Encoder."):
+    """Map the reference AssessNet state_dict (models/assessment.py layout:
+    Encoder.conv1/conv1_p/bn1/res2..res5 + fc1) onto assess.py's variables.
+
+    The reference's dead stem convs (conv1_m / conv1_n, declared at
+    models/assessment.py:15-20 but unused on the 2-input path) and the
+    mean/std buffers are ignored.
+    """
+    import jax.numpy as jnp
+
+    sd = _strip_module(state_dict)
+    e = encoder_prefix
+    params = {
+        "conv1": {"kernel": jnp.asarray(_conv_kernel(sd[e + "conv1.weight"]))},
+        "conv1_p": {"kernel": jnp.asarray(_conv_kernel(sd[e + "conv1_p.weight"]))},
+        "bn1": {
+            "scale": jnp.asarray(_np(sd[e + "bn1.weight"])),
+            "bias": jnp.asarray(_np(sd[e + "bn1.bias"])),
+        },
+        "fc1": {
+            "kernel": jnp.asarray(_np(sd["fc1.weight"]).T),
+            "bias": jnp.asarray(_np(sd["fc1.bias"])),
+        },
+        "trunk": {},
+    }
+    stats = {
+        "bn1": {
+            "mean": jnp.asarray(_np(sd[e + "bn1.running_mean"])),
+            "var": jnp.asarray(_np(sd[e + "bn1.running_var"])),
+        },
+        "trunk": {},
+    }
+
+    blocks_per_stage = {2: 3, 3: 4, 4: 6, 5: 3}
+    for stage, n_blocks in blocks_per_stage.items():
+        stage_p, stage_s = {}, {}
+        for i in range(n_blocks):
+            tp = f"{e}res{stage}.{i}."
+            block_p, block_s = {}, {}
+            for j in (1, 2, 3):
+                block_p[f"conv{j}"] = {
+                    "kernel": jnp.asarray(_conv_kernel(sd[tp + f"conv{j}.weight"]))
+                }
+                block_p[f"bn{j}"] = {
+                    "scale": jnp.asarray(_np(sd[tp + f"bn{j}.weight"])),
+                    "bias": jnp.asarray(_np(sd[tp + f"bn{j}.bias"])),
+                }
+                block_s[f"bn{j}"] = {
+                    "mean": jnp.asarray(_np(sd[tp + f"bn{j}.running_mean"])),
+                    "var": jnp.asarray(_np(sd[tp + f"bn{j}.running_var"])),
+                }
+            if tp + "downsample.0.weight" in sd:
+                block_p["downsample_conv"] = {
+                    "kernel": jnp.asarray(
+                        _conv_kernel(sd[tp + "downsample.0.weight"])
+                    )
+                }
+                block_p["downsample_bn"] = {
+                    "scale": jnp.asarray(_np(sd[tp + "downsample.1.weight"])),
+                    "bias": jnp.asarray(_np(sd[tp + "downsample.1.bias"])),
+                }
+                block_s["downsample_bn"] = {
+                    "mean": jnp.asarray(_np(sd[tp + "downsample.1.running_mean"])),
+                    "var": jnp.asarray(_np(sd[tp + "downsample.1.running_var"])),
+                }
+            stage_p[f"block{i}"] = block_p
+            stage_s[f"block{i}"] = block_s
+        params["trunk"][f"res{stage}"] = stage_p
+        stats["trunk"][f"res{stage}"] = stage_s
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_assess_checkpoint_pt(path: str):
+    """Load weights/assess_net.pt → AssessNet variables, or None."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return assess_variables_from_torch(sd)
+    except Exception:
+        return None
+
+
 def load_agent_checkpoint_pt(path: str):
     """Load weights/agent.pt → Brain params, or None if missing/unreadable."""
     import os

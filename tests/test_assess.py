@@ -1,0 +1,185 @@
+"""AssessNet tests: ROI geometry goldens, grid_sample parity via torch,
+encoder import parity vs torchvision resnet50, fused clip scoring."""
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- ROI box ---
+def _ref_yxhw(np_mask, scale=1.5):
+    """Hand NumPy restatement of the reference box rules
+    (models/assessment.py:110-161) used as the golden oracle."""
+    out = np.zeros((np_mask.shape[0], 4), dtype=np.float32)
+    for b in range(np_mask.shape[0]):
+        ys, xs = np.where(np_mask[b] >= 0.49)
+        if ys.size == 0:
+            ymin, ymax = 0, np_mask.shape[1]
+            xmin, xmax = 0, np_mask.shape[2]
+        else:
+            ymin, ymax = ys.min(), ys.max()
+            xmin, xmax = xs.min(), xs.max()
+        if (ymax - ymin) < 128:
+            res = 128.0 - (ymax - ymin)
+            ymin -= int(res / 2)
+            ymax += int(res / 2)
+        if (xmax - xmin) < 128:
+            res = 128.0 - (xmax - xmin)
+            xmin -= int(res / 2)
+            xmax += int(res / 2)
+        oh, ow = ymax - ymin + 1, xmax - xmin + 1
+        ymin = np.maximum(-5, ymin - (scale - 1) / 2.0 * oh)
+        ymax = np.minimum(np_mask.shape[1] + 5, ymax + (scale - 1) / 2.0 * oh)
+        xmin = np.maximum(-5, xmin - (scale - 1) / 2.0 * ow)
+        xmax = np.minimum(np_mask.shape[2] + 5, xmax + (scale - 1) / 2.0 * ow)
+        out[b] = [
+            (ymax + ymin) / 2.0,
+            (xmax + xmin) / 2.0,
+            ymax - ymin + 1,
+            xmax - xmin + 1,
+        ]
+    return out
+
+
+def test_mask_to_yxhw_golden():
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    rng = np.random.default_rng(0)
+    masks = np.zeros((4, 240, 427), dtype=np.float32)
+    masks[0, 50:90, 100:160] = 1.0          # small box -> min-128 expansion
+    masks[1, 10:200, 30:400] = 1.0          # large box
+    masks[2] = 0.0                          # empty -> whole image
+    masks[3, 120:124, 200:204] = 1.0        # tiny blob
+    got = np.asarray(mask_to_yxhw(masks, scale=1.5))
+    want = _ref_yxhw(masks, scale=1.5)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_roi_crop_matches_torch_grid_sample():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from ivosw_tpu.ops.roi import mask_to_yxhw, roi_crop, roi_theta
+
+    rng = np.random.default_rng(1)
+    h, w, s = 120, 214, 64
+    img = rng.random((2, h, w, 3)).astype(np.float32)
+    mask = np.zeros((2, h, w), dtype=np.float32)
+    mask[0, 20:70, 40:120] = 1.0
+    mask[1, 5:100, 10:60] = 1.0
+
+    yxhw = np.asarray(mask_to_yxhw(mask, scale=1.5, min_side=32.0))
+    ours = np.asarray(roi_crop(img, yxhw, out_size=s, dtype=np.float32))
+
+    theta = np.asarray(roi_theta(yxhw, (h, w)))
+    timg = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    grid = F.affine_grid(torch.from_numpy(theta), (2, 1, s, s), align_corners=True)
+    ref = F.grid_sample(timg, grid, align_corners=True).numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+# ------------------------------------------------------------- AssessNet ---
+def test_assess_forward_shapes():
+    import jax
+
+    from ivosw_tpu.models.assess import assess_forward, init_assess_variables
+
+    variables = init_assess_variables(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    tf = rng.random((2, 96, 96, 3)).astype(np.float32)
+    tp = rng.random((2, 96, 96)).astype(np.float32)
+    q = np.asarray(assess_forward(variables, tf, tp))
+    assert q.shape == (2, 1)
+    assert np.isfinite(q).all()
+
+
+def test_assess_torch_encoder_parity():
+    """Random-weight torchvision resnet50 assembled the reference way
+    (conv1(f)+conv1_p(p) fused stem, global pool, fc) must match our flax
+    encoder after weight conversion."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    import torch.nn.functional as F
+
+    from ivosw_tpu.models.assess import AssessNet
+    from ivosw_tpu.utils.torch_import import assess_variables_from_torch
+
+    torch.manual_seed(0)
+    resnet = torchvision.models.resnet50(weights=None).eval()
+    conv1_p = torch.nn.Conv2d(1, 64, 7, stride=2, padding=3, bias=False)
+    fc1 = torch.nn.Linear(2048, 1)
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def torch_forward(tf_roi, tp_roi):
+        f = (tf_roi - mean) / std
+        x = resnet.conv1(f) + conv1_p(tp_roi)
+        x = resnet.relu(resnet.bn1(x))
+        x = resnet.maxpool(x)
+        x = resnet.layer4(resnet.layer3(resnet.layer2(resnet.layer1(x))))
+        pooled = F.avg_pool2d(x, x.shape[-1]).flatten(1)
+        return fc1(pooled)
+
+    # assemble a reference-layout state_dict: Encoder.<res-stage naming>
+    sd = {}
+    ren = {"layer1": "res2", "layer2": "res3", "layer3": "res4", "layer4": "res5"}
+    for k, v in resnet.state_dict().items():
+        if k.startswith("fc."):
+            continue
+        for old, new in ren.items():
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        sd["Encoder." + k] = v
+    sd["Encoder.conv1_p.weight"] = conv1_p.weight
+    sd["fc1.weight"] = fc1.weight
+    sd["fc1.bias"] = fc1.bias
+
+    import jax.numpy as jnp
+
+    variables = assess_variables_from_torch(sd)
+    rng = np.random.default_rng(2)
+    tf = rng.random((2, 64, 64, 3)).astype(np.float32)
+    tp = rng.random((2, 64, 64, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        q_ref = torch_forward(
+            torch.from_numpy(tf.transpose(0, 3, 1, 2)),
+            torch.from_numpy(tp.transpose(0, 3, 1, 2)),
+        ).numpy()
+
+    model = AssessNet(dtype=jnp.float32)
+    q_ours = np.asarray(model.apply(variables, tf, tp, train=False))
+    np.testing.assert_allclose(q_ours, q_ref, atol=2e-3)
+
+
+def test_score_clip_fused_vs_loop():
+    """One fused T×O pass must equal per-pair forwards (reference loop)."""
+    import jax
+
+    from ivosw_tpu.models.assess import (
+        assess_forward,
+        init_assess_variables,
+        mean_object_quality,
+        score_clip,
+    )
+
+    variables = init_assess_variables(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(3)
+    t, o, h, w = 3, 2, 96, 96
+    frames = rng.random((t, h, w, 3)).astype(np.float32)
+    probs = rng.random((t, o, h, w)).astype(np.float32)
+    obj_valid = np.array([1.0, 1.0], dtype=np.float32)
+
+    fused = np.asarray(score_clip(variables, frames, probs, obj_valid))
+
+    loop = np.zeros((t, o), dtype=np.float32)
+    for i in range(o):
+        loop[:, i] = np.asarray(
+            assess_forward(variables, frames, probs[:, i])
+        )[:, 0]
+    np.testing.assert_allclose(fused, loop, atol=2e-2)
+
+    mq = np.asarray(mean_object_quality(fused, obj_valid))
+    np.testing.assert_allclose(mq, fused.mean(axis=1), atol=1e-6)
