@@ -1,0 +1,248 @@
+"""Interactive evaluation driver.
+
+One driver for every backbone behind the adapter protocol — capability
+parity with the reference's three near-identical entry points
+(``eval_agent_atnet.py`` / ``eval_agent_manet.py`` / ``eval_agent_ipn.py``):
+interactive session over the chosen subset, 8 rounds per sample, the
+setting×method policy matrix, per-round timing/quality/corr logging, and a
+``results/{VOS}/{setting}/{dataset}/{method}/summary.json`` artifact holding
+the AUC and the J&F-vs-round curve (``eval_agent_atnet.py:352-362`` format).
+
+CLI: ``python -m ivosw_tpu.eval.eval_agent [key=value ...]`` — the sacred
+``with``-override surface of the reference (``README.md:64``).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ivosw_tpu.core.config import Config
+from ivosw_tpu.data.scribbles import annotated_frames
+from ivosw_tpu.interact.recommend import recommend_frame
+from ivosw_tpu.interact.robot import ScribbleRobot
+from ivosw_tpu.interact.session import InteractiveSession
+from ivosw_tpu.ops.metrics import auc_from_curve, sequence_metric
+from ivosw_tpu.utils.misc import AverageMeter, create_stream_logger, set_random_seed
+
+
+def evaluate(
+    cfg: Config,
+    registry,
+    adapter,
+    agent=None,
+    assess_variables=None,
+    subset: str = "val",
+    max_nb_interactions: int = 8,
+    report_save_dir: Optional[str] = None,
+    robot: Optional[ScribbleRobot] = None,
+    log=None,
+    vos_name: Optional[str] = None,
+):
+    """Run the full interactive evaluation; returns the summary dict."""
+    log = log or create_stream_logger("eval")
+    rng = set_random_seed(cfg.seed)
+    metric_to_optimize = cfg.davis_interactive.metric
+    vos_name = vos_name or getattr(adapter, "name", "vos")
+    allow_repeat = cfg.davis_interactive.allow_repeat
+    # worst/linspace never revisit frames (reference eval_agent_atnet.py:121,146)
+    if cfg.method in ("worst", "linspace"):
+        allow_repeat = 0
+
+    if report_save_dir is None:
+        report_save_dir = os.path.join(
+            "results", vos_name, cfg.setting, cfg.dataset, cfg.method
+        )
+    os.makedirs(report_save_dir, exist_ok=True)
+
+    quality_meter = AverageMeter()
+    seg_meter = AverageMeter()
+    rec_meter = AverageMeter()
+    corr_meter = AverageMeter()
+    seen_seq: dict = {}
+
+    with InteractiveSession(
+        registry,
+        subset=subset,
+        metric_to_optimize=metric_to_optimize,
+        max_nb_interactions=max_nb_interactions,
+        report_save_dir=report_save_dir,
+        robot=robot,
+        seed=cfg.seed,
+    ) as sess:
+        while sess.next():
+            sequence, scribbles, first_scribble = sess.get_scribbles(only_last=False)
+            af = annotated_frames(sess.sample_last_scribble)
+
+            if first_scribble:
+                seen_seq[sequence] = seen_seq.get(sequence, 0) + 1
+                info = registry.info(sequence)
+                gt_masks = registry.load_annotations(sequence)
+                all_F = registry.load_images(sequence)
+                n_frame = info.num_frames
+                n_objects = info.num_objects
+                assert len(af) > 0
+                next_frame = first_frame = af[0]
+                prev_frames = None if allow_repeat > 0 else [next_frame]
+                annotated_frames_list = [next_frame]
+                n_interaction = 1
+                mask_quality_pred = (
+                    np.zeros(n_frame)
+                    if cfg.setting == "wild" and cfg.method in ("ours", "worst")
+                    else None
+                )
+                state = adapter.begin_sequence(
+                    all_F, n_objects, sequence=sequence
+                ) if _takes_sequence(adapter) else adapter.begin_sequence(
+                    all_F, n_objects
+                )
+            else:
+                annotated_frames_list.append(next_frame)
+                n_interaction += 1
+
+            seg_tic = time.perf_counter()
+            masks, all_P, state = adapter.segment(
+                state, scribbles, next_frame, n_interaction
+            )
+            seg_meter.update(time.perf_counter() - seg_tic)
+
+            new_masks_metric = sequence_metric(
+                metric_to_optimize, gt_masks, masks, n_objects
+            )
+
+            rec_tic = time.perf_counter()
+            next_frame = recommend_frame(
+                cfg,
+                assess_variables,
+                agent,
+                n_frame=n_frame,
+                n_objects=n_objects,
+                all_F=all_F,
+                all_P=all_P,
+                new_masks_quality=new_masks_metric,
+                prev_frames=prev_frames,
+                annotated_frames_list=copy.deepcopy(annotated_frames_list),
+                mask_quality=mask_quality_pred,
+                first_frame=first_frame,
+                max_nb_interactions=max_nb_interactions,
+                rng=rng,
+            )
+            rec_meter.update(time.perf_counter() - rec_tic)
+            if prev_frames is not None:
+                prev_frames.append(next_frame)
+
+            sess.submit_masks(masks, next_scribble_frame_candidates=[next_frame])
+
+            corr = (
+                float(np.corrcoef(new_masks_metric, mask_quality_pred)[0, 1])
+                if mask_quality_pred is not None
+                and np.std(mask_quality_pred) > 0
+                and np.std(new_masks_metric) > 0
+                else float("nan")
+            )
+            if not np.isnan(corr):
+                corr_meter.update(corr)
+            log.info(
+                f"avg_{metric_to_optimize}: {new_masks_metric.mean() * 100:.2f} "
+                f"seg:{seg_meter.val:.2f}s rec:{rec_meter.val:.2f}s "
+                f"next:{next_frame:3d} corr:{corr:.2f} "
+                f"seq:{sequence}_{seen_seq[sequence]} "
+                f"[{n_interaction}/{max_nb_interactions}]"
+            )
+            if n_interaction == max_nb_interactions:
+                quality_meter.update(float(new_masks_metric.mean()) * 100)
+
+        global_summary = sess.get_global_summary()
+
+    curve = global_summary["curve"][metric_to_optimize][:-1]
+    auc = auc_from_curve(curve)
+    log.info(f"# final avg {metric_to_optimize}: {quality_meter.avg:.4f}")
+    log.info(f"# global_summary: auc:{auc * 100:.4f}")
+
+    summary = {"auc": auc, "curve": {metric_to_optimize: curve}}
+    with open(os.path.join(report_save_dir, "summary.json"), "w") as fp:
+        json.dump(summary, fp)
+    summary["timing"] = {
+        "seg_time_avg": seg_meter.avg,
+        "rec_time_avg": rec_meter.avg,
+    }
+    return summary
+
+
+def _takes_sequence(adapter) -> bool:
+    import inspect
+
+    try:
+        return "sequence" in inspect.signature(adapter.begin_sequence).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def build_and_evaluate(cfg: Config, overrides_done: bool = True):
+    """Config-driven wiring: registry + backbone + (agent, assess_net)."""
+    from ivosw_tpu.data.registry import SequenceRegistry
+    from ivosw_tpu.eval.backbones import build_backbone
+    from ivosw_tpu.models.agent import Agent
+
+    if cfg.dataset == "davis":
+        registry = SequenceRegistry.from_davis_root(cfg.data.root_dir_davis)
+    elif cfg.dataset == "ytbvos":
+        registry = SequenceRegistry.from_json(
+            os.path.join(cfg.data.root_dir_scribble_youtube_vos, "scb_ytbvos.json"),
+            root=cfg.data.root_dir_scribble_youtube_vos,
+        )
+    else:
+        raise NotImplementedError(cfg.dataset)
+
+    adapter = build_backbone(cfg, registry)
+
+    agent = None
+    assess_variables = None
+    if cfg.method == "ours":
+        agent = Agent(cfg)
+        from ivosw_tpu.utils.checkpoint import load_agent_params
+
+        params = load_agent_params(cfg.ckpt_dir)
+        if params is not None:
+            agent.params = params
+            agent.target_params = params
+    if cfg.setting == "wild" and cfg.method in ("ours", "worst"):
+        from ivosw_tpu.utils.checkpoint import load_assess_variables_ckpt
+
+        assess_variables = load_assess_variables_ckpt(cfg.ckpt_dir)
+        if assess_variables is None:
+            import jax
+
+            from ivosw_tpu.models.assess import init_assess_variables
+
+            assess_variables = init_assess_variables(jax.random.PRNGKey(cfg.seed))
+
+    return evaluate(
+        cfg,
+        registry,
+        adapter,
+        agent=agent,
+        assess_variables=assess_variables,
+        vos_name=cfg.vos,
+    )
+
+
+def main(argv=None):
+    import sys
+
+    from ivosw_tpu.core.config import load_config
+
+    argv = argv if argv is not None else sys.argv[1:]
+    overrides = [a for a in argv if "=" in a]
+    cfg = load_config("configs/config.yaml", overrides)
+    cfg.phase = "eval"
+    return build_and_evaluate(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,381 @@
+"""Frame-recommendation policy layer.
+
+Capability parity with the reference ``utils/utils_agent.py``:
+``select_next_frame`` (:38-74), ``recommend_frame`` dispatch over
+setting×method (:77-128), ``gen_subseq`` (:131-157), ``goal_only_reward``
+(Eq.3 variant, :7-35) and the per-round ``agent_business`` bookkeeping
+(:207-256).
+
+TPU-native change: in the wild setting the reference loops objects in Python
+and calls AssessNet T times per object with a host bbox sync inside
+(:103-121). Here :func:`predict_clip_quality` scores all T×O pairs through
+the fused :func:`ivosw_tpu.models.assess.score_clip` device pass, chunked
+over a fixed frame block so every sequence length reuses one compiled
+program.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ivosw_tpu.data.replay import Transition
+
+FRAME_CHUNK = 32
+
+
+# ----------------------------------------------------------------- reward --
+class RewardTable:
+    """Baseline episode statistics backing Eq.3's normalised terminal reward.
+
+    Produced by the reward-production phase (30 random-policy epochs in the
+    reference, ``produce_reward.py``); keyed by (sequence, terminal
+    interaction round, scribble-iter mod 3) exactly as
+    ``goal_only_reward`` filters its DataFrame (utils/utils_agent.py:11-20).
+    """
+
+    def __init__(self):
+        self._records: List[Dict] = []
+
+    def add(self, sequence: str, n_interaction_next: int, scribble_iter: int,
+            next_state_iou_mean: float) -> None:
+        self._records.append(
+            dict(
+                sequence=sequence,
+                n_interaction_next=int(n_interaction_next),
+                scribble_iter=int(scribble_iter),
+                iou=float(next_state_iou_mean),
+            )
+        )
+
+    @classmethod
+    def from_csv(cls, path: str) -> "RewardTable":
+        """Load a reference-format reward.csv (memory-pool schema)."""
+        import pandas as pd
+
+        table = cls()
+        df = pd.read_csv(path, index_col=0)
+        for _, row in df.iterrows():
+            iou = np.mean([float(v) for v in str(row["next_state_iou"]).split("/")])
+            table.add(
+                row["sequence"],
+                int(row["n_interaction_next"]),
+                int(row["scribble_iter"]),
+                iou,
+            )
+        return table
+
+    def baseline(
+        self, sequence: str, n_interaction: int, scribble_iter: int
+    ) -> np.ndarray:
+        vals = [
+            r["iou"]
+            for r in self._records
+            if r["sequence"] == sequence
+            and r["n_interaction_next"] == n_interaction
+            and (r["scribble_iter"] - 1) % 3 == (scribble_iter - 1) % 3
+        ]
+        return np.asarray(vals, dtype=np.float64)
+
+    def __len__(self):
+        return len(self._records)
+
+
+def goal_only_reward(
+    sequence: str,
+    n_interaction: int,
+    scribble_iter: int,
+    repeat_selection: bool,
+    iou_new: np.ndarray,
+    table: Optional[RewardTable] = None,
+    expected_count: Optional[int] = None,
+) -> Tuple[float, float]:
+    """reward_step = ±1 (repeat penalty); reward_done = Eq.3
+    ``(J&F − μ − σ)/σ`` against the baseline episodes. The reference pins the
+    baseline count to exactly 30 (utils/utils_agent.py:20); pass
+    expected_count=30 for that strict mode."""
+    reward_step = 1.0 if not repeat_selection else -1.0
+    if table is None:
+        return reward_step, 0.0
+    prev = table.baseline(sequence, n_interaction, scribble_iter)
+    if expected_count is not None:
+        assert len(prev) == expected_count, (
+            f"baseline count {len(prev)} != {expected_count} for "
+            f"{sequence}/{n_interaction}/{scribble_iter}"
+        )
+    assert len(prev) >= 2, "need ≥2 baseline episodes for a std estimate"
+    metric = float(np.mean(iou_new))
+    mean, std = prev.mean(), prev.std(ddof=1)
+    std = max(std, 1e-8)
+    reward_done = (metric - mean - std) / std
+    return reward_step, float(reward_done)
+
+
+# ---------------------------------------------------------------- selects --
+def select_next_frame(
+    frame_value: np.ndarray,
+    metric: str = "min",
+    prev_frames: Optional[Sequence[int]] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> int:
+    """Pick a frame by value (reference utils/utils_agent.py:38-74).
+
+    'worst'/'min': lowest value; 'max': highest; 'random': uniform;
+    'prob': softmax-weighted draw. prev_frames excludes already-annotated
+    frames by scanning the argsort (falling back to global argmin when all
+    frames were used)."""
+    frame_value = np.asarray(frame_value, dtype=np.float64)
+    nb_frames = len(frame_value)
+    rng = rng or np.random.default_rng()
+
+    if metric == "random":
+        return int(rng.integers(nb_frames))
+
+    if metric == "prob":
+        z = frame_value - frame_value.max()
+        p = np.exp(z) / np.exp(z).sum()
+        return int(rng.choice(nb_frames, p=p))
+
+    if metric == "max":
+        frame_value = -frame_value
+
+    if prev_frames is not None:
+        order = frame_value.argsort()
+        i = 0
+        while i < nb_frames and order[i] in prev_frames:
+            i += 1
+        if i == nb_frames:
+            return int(frame_value.argmin())
+        return int(order[i])
+    return int(frame_value.argmin())
+
+
+def gen_subseq(
+    first_frame: int, n_frame: int, len_subseq: int, subseq_style: str = "consecutive"
+) -> List[int]:
+    """Subsequence generators (reference utils/utils_agent.py:131-157):
+    'consecutive' centres a window on the first scribbled frame; 'equal'
+    spreads len_subseq frames evenly while excluding the first frame."""
+    if subseq_style == "consecutive":
+        assert n_frame >= len_subseq
+        i_start = max(0, first_frame - len_subseq + 1)
+        i_end = first_frame - max((first_frame + len_subseq) - n_frame, 0)
+        i = int((i_start + i_end) / 2)
+        return list(range(i, i + len_subseq))
+    if subseq_style == "equal":
+        start, end = 0, n_frame - 1
+        if (end - start + 1) < len_subseq + 1:
+            return list(range(len_subseq))
+        subseq = np.linspace(start, n_frame - 1, num=len_subseq + 1).astype(int)
+        for _ in range(n_frame + 1):
+            if first_frame in subseq:
+                break
+            subseq = subseq + 1
+        if first_frame != subseq[-1]:
+            return list(subseq[:-1])
+        return list(subseq[1:])
+    raise NotImplementedError(subseq_style)
+
+
+# -------------------------------------------------------------- QA fusion --
+def predict_clip_quality(
+    assess_variables,
+    all_F: np.ndarray,
+    all_P: np.ndarray,
+    n_objects: int,
+    chunk: int = FRAME_CHUNK,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Predicted quality for every frame of a clip, fused on device.
+
+    all_F: [T, H, W, 3] float frames; all_P: [T, O+1, H, W] probabilities
+    with background channel 0 (adapter output). Returns (per-frame mean
+    quality [T], per-object scores [T, n_objects]). Frames are processed in
+    fixed-size chunks so one compiled program serves every clip length.
+    """
+    import jax.numpy as jnp
+
+    from ivosw_tpu.models.assess import score_clip
+
+    t = all_F.shape[0]
+    probs = all_P[:, 1 : n_objects + 1]
+    obj_valid = jnp.ones((n_objects,), dtype=jnp.float32)
+
+    scores = np.zeros((t, n_objects), dtype=np.float32)
+    for start in range(0, t, chunk):
+        end = min(start + chunk, t)
+        n = end - start
+        f_chunk = all_F[start:end]
+        p_chunk = probs[start:end]
+        if n < chunk:  # pad tail to the static chunk shape
+            f_chunk = np.concatenate(
+                [f_chunk, np.zeros((chunk - n,) + f_chunk.shape[1:], f_chunk.dtype)]
+            )
+            p_chunk = np.concatenate(
+                [p_chunk, np.zeros((chunk - n,) + p_chunk.shape[1:], p_chunk.dtype)]
+            )
+        s = np.asarray(
+            score_clip(assess_variables, jnp.asarray(f_chunk), jnp.asarray(p_chunk), obj_valid)
+        )
+        scores[start:end] = s[:n]
+    return scores.mean(axis=1), scores
+
+
+# ------------------------------------------------------------- recommend --
+def recommend_frame(
+    cfg,
+    assess_variables,
+    agent,
+    n_frame: int,
+    n_objects: int,
+    all_F: Optional[np.ndarray],
+    all_P: Optional[np.ndarray],
+    new_masks_quality: np.ndarray,
+    prev_frames: Optional[List[int]],
+    annotated_frames_list: List[int],
+    mask_quality: Optional[np.ndarray],
+    first_frame: int,
+    max_nb_interactions: int,
+    rng: Optional[np.random.Generator] = None,
+) -> int:
+    """Dispatch over setting×method (reference utils/utils_agent.py:77-128).
+
+    oracle: the agent/worst policy sees the TRUE per-frame metric.
+    wild: 'worst'/'ours' first predict per-frame quality with the fused
+    AssessNet pass (writes into mask_quality in place, like the reference).
+    """
+    setting, method = cfg.setting, cfg.method
+    rng = rng or np.random.default_rng()
+
+    if setting == "oracle":
+        if method == "worst":
+            return select_next_frame(
+                new_masks_quality, metric="worst", prev_frames=prev_frames, rng=rng
+            )
+        if method == "ours":
+            counts = np.zeros(len(new_masks_quality), dtype=np.float32)
+            for i in annotated_frames_list:
+                counts[i] += 1
+            state = np.stack([new_masks_quality, counts], axis=1).astype(np.float32)
+            return int(agent.action(state))
+        raise NotImplementedError(f"oracle/{method}")
+
+    if setting == "wild":
+        if method == "random":
+            return select_next_frame(new_masks_quality, metric="random", rng=rng)
+        if method == "linspace":
+            next_frame = prev_frames[0]
+            len_subseq = min(max_nb_interactions, n_frame)
+            subseq = gen_subseq(first_frame, n_frame, len_subseq, "equal")
+            for i in subseq:
+                if i not in prev_frames:
+                    return int(i)
+            return int(next_frame)
+        if method in ("worst", "ours"):
+            pred_quality, _ = predict_clip_quality(
+                assess_variables, all_F, all_P, n_objects
+            )
+            if mask_quality is not None:
+                mask_quality[:] = pred_quality
+            if method == "worst":
+                return select_next_frame(
+                    pred_quality, metric="worst", prev_frames=prev_frames, rng=rng
+                )
+            counts = np.zeros(n_frame, dtype=np.float32)
+            for i in annotated_frames_list:
+                counts[i] += 1
+            state = np.stack([pred_quality, counts], axis=1).astype(np.float32)
+            return int(agent.action(state))
+        raise NotImplementedError(f"wild/{method}")
+
+    raise NotImplementedError(setting)
+
+
+# --------------------------------------------------------- agent business --
+def agent_business(
+    cfg,
+    agent,
+    max_nb_interactions: int,
+    n_interaction: int,
+    first_scribble: bool,
+    old_masks_metric: np.ndarray,
+    new_masks_metric: np.ndarray,
+    old_frame: int,
+    sequence: str,
+    scribble_iter: int,
+    repeat_selection: bool,
+    reward_table: Optional[RewardTable],
+    annotated_frames_list: List[int],
+    next_frame: int,
+    report_save_dir: str,
+    num_updates: Optional[int] = None,
+    batch_sampler=None,
+    expected_count: Optional[int] = None,
+):
+    """Per-round transition collection + episode-end Q-updates
+    (reference utils/utils_agent.py:207-256).
+
+    Returns (mean update loss, reward_step, reward_done). In the 'train'
+    phase the final round of an episode runs ``max_nb_interactions·3 − 1``
+    replay updates (or ``num_updates`` when given); other phases only record.
+    """
+    agent_loss = 0.0
+    reward_step, reward_done = 0.0, 0.0
+    if first_scribble or cfg.phase == "eval":
+        return agent_loss, reward_step, reward_done
+
+    reward_step, reward_done = goal_only_reward(
+        sequence,
+        n_interaction,
+        scribble_iter,
+        repeat_selection,
+        new_masks_metric,
+        table=reward_table,
+        expected_count=expected_count,
+    )
+    t = len(new_masks_metric)
+    counts = np.zeros(t, dtype=np.float32)
+    for i in annotated_frames_list:
+        counts[i] += 1
+    next_counts = counts.copy()
+    next_counts[next_frame] += 1
+    done = n_interaction >= max_nb_interactions
+
+    agent.memory(
+        Transition(
+            sequence=sequence,
+            scribble_iter=scribble_iter,
+            n_interaction=n_interaction - 1,
+            n_interaction_next=n_interaction,
+            action=int(old_frame),
+            reward_step=reward_step,
+            reward_done=reward_done,
+            done=done,
+            state_iou=np.asarray(old_masks_metric, dtype=np.float32),
+            next_state_iou=np.asarray(new_masks_metric, dtype=np.float32),
+            annotated_frames=counts,
+            next_annotated_frames=next_counts,
+        ),
+        report_save_dir,
+    )
+
+    if n_interaction == max_nb_interactions and cfg.phase == "train":
+        n_updates = (
+            num_updates if num_updates is not None else max_nb_interactions * 3 - 1
+        )
+        losses = []
+        for _ in range(n_updates):
+            batch = (
+                batch_sampler()
+                if batch_sampler is not None
+                else agent.memory_pool.sample_batch(
+                    cfg.agent.train_batch_size, agent.host_rng
+                )
+            )
+            loss = agent.update_agent(batch)
+            if loss is not None:
+                losses.append(loss)
+        agent_loss = float(np.mean(losses)) if losses else 0.0
+
+    return agent_loss, reward_step, reward_done

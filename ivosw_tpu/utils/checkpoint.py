@@ -1,0 +1,95 @@
+"""Checkpoint I/O: Orbax-native with torch ``.pt`` import fallback.
+
+Capability parity with the reference's weights-only save/load helpers
+(``utils/misc.py:42-115``), upgraded per the rebuild plan: native checkpoints
+carry params (and can carry opt-state / step counters), while reference
+``agent.pt`` / ``assess_net.pt`` files import transparently through
+:mod:`ivosw_tpu.utils.torch_import` for parity runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
+
+
+def load_pytree(path: str) -> Optional[Any]:
+    if not os.path.exists(path):
+        return None
+    ocp = _ocp()
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+# ----------------------------------------------------------------- agent --
+def save_agent_checkpoint(agent, ckpt_dir: str, epoch: Optional[int] = None) -> str:
+    """Save policy-net params (+ opt state + step) as an Orbax checkpoint."""
+    name = "agent" if epoch is None else f"agent_epoch_{epoch}"
+    path = os.path.join(ckpt_dir, name + ".orbax")
+    save_pytree(
+        path,
+        {
+            "params": agent.params,
+            "opt_state": agent.opt_state,
+            "steps_done": agent.steps_done,
+        },
+    )
+    return path
+
+
+def load_agent_params(ckpt_dir: str):
+    """Agent params from weights/agent.orbax, else from reference agent.pt."""
+    path = os.path.join(ckpt_dir, "agent.orbax")
+    tree = load_pytree(path)
+    if tree is not None:
+        return tree["params"]
+    from ivosw_tpu.utils.torch_import import load_agent_checkpoint_pt
+
+    return load_agent_checkpoint_pt(os.path.join(ckpt_dir, "agent.pt"))
+
+
+def restore_agent(agent, ckpt_dir: str) -> bool:
+    """Full restore (params + opt state + step counter) when available."""
+    tree = load_pytree(os.path.join(ckpt_dir, "agent.orbax"))
+    if tree is None:
+        params = load_agent_params(ckpt_dir)
+        if params is None:
+            return False
+        agent.params = params
+        agent.target_params = params
+        return True
+    agent.params = tree["params"]
+    agent.target_params = tree["params"]
+    agent.opt_state = tree["opt_state"]
+    agent.steps_done = int(tree["steps_done"])
+    return True
+
+
+# ------------------------------------------------------------- assessnet --
+def save_assess_checkpoint(variables, ckpt_dir: str, epoch: Optional[int] = None) -> str:
+    name = "assess_net" if epoch is None else f"assess_net_epoch_{epoch}"
+    path = os.path.join(ckpt_dir, name + ".orbax")
+    save_pytree(path, variables)
+    return path
+
+
+def load_assess_variables_ckpt(ckpt_dir: str):
+    tree = load_pytree(os.path.join(ckpt_dir, "assess_net.orbax"))
+    if tree is not None:
+        return tree
+    from ivosw_tpu.utils.torch_import import load_assess_checkpoint_pt
+
+    return load_assess_checkpoint_pt(os.path.join(ckpt_dir, "assess_net.pt"))
