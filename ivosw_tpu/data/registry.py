@@ -30,6 +30,18 @@ class SequenceInfo:
     num_scribbles: int = 3
 
 
+def registry_from_config(cfg) -> "SequenceRegistry":
+    """Config → registry (davis directory tree or ytbvos json)."""
+    if cfg.dataset == "davis":
+        return SequenceRegistry.from_davis_root(cfg.data.root_dir_davis)
+    if cfg.dataset == "ytbvos":
+        root = cfg.data.root_dir_scribble_youtube_vos
+        return SequenceRegistry.from_json(
+            os.path.join(root, "scb_ytbvos.json"), root=root
+        )
+    raise NotImplementedError(cfg.dataset)
+
+
 @dataclass
 class SequenceRegistry:
     root: Optional[str] = None

@@ -96,10 +96,10 @@ def evaluate(
                     if cfg.setting == "wild" and cfg.method in ("ours", "worst")
                     else None
                 )
-                state = adapter.begin_sequence(
-                    all_F, n_objects, sequence=sequence
-                ) if _takes_sequence(adapter) else adapter.begin_sequence(
-                    all_F, n_objects
+                from ivosw_tpu.models.vos.protocol import begin_sequence_compat
+
+                state = begin_sequence_compat(
+                    adapter, all_F, n_objects, sequence=sequence
                 )
             else:
                 annotated_frames_list.append(next_frame)
@@ -174,31 +174,13 @@ def evaluate(
     return summary
 
 
-def _takes_sequence(adapter) -> bool:
-    import inspect
-
-    try:
-        return "sequence" in inspect.signature(adapter.begin_sequence).parameters
-    except (TypeError, ValueError):
-        return False
-
-
 def build_and_evaluate(cfg: Config, overrides_done: bool = True):
     """Config-driven wiring: registry + backbone + (agent, assess_net)."""
-    from ivosw_tpu.data.registry import SequenceRegistry
+    from ivosw_tpu.data.registry import registry_from_config
     from ivosw_tpu.eval.backbones import build_backbone
     from ivosw_tpu.models.agent import Agent
 
-    if cfg.dataset == "davis":
-        registry = SequenceRegistry.from_davis_root(cfg.data.root_dir_davis)
-    elif cfg.dataset == "ytbvos":
-        registry = SequenceRegistry.from_json(
-            os.path.join(cfg.data.root_dir_scribble_youtube_vos, "scb_ytbvos.json"),
-            root=cfg.data.root_dir_scribble_youtube_vos,
-        )
-    else:
-        raise NotImplementedError(cfg.dataset)
-
+    registry = registry_from_config(cfg)
     adapter = build_backbone(cfg, registry)
 
     agent = None

@@ -105,10 +105,13 @@ def goal_only_reward(
             f"baseline count {len(prev)} != {expected_count} for "
             f"{sequence}/{n_interaction}/{scribble_iter}"
         )
-    assert len(prev) >= 2, "need ≥2 baseline episodes for a std estimate"
+    if len(prev) < 2 or prev.std(ddof=1) < 1e-6:
+        # degenerate baseline (too few episodes, or zero variance): a
+        # normalised reward is meaningless — fall back to 0 rather than
+        # crash mid-run (the reference would assert; robustness divergence)
+        return reward_step, 0.0
     metric = float(np.mean(iou_new))
     mean, std = prev.mean(), prev.std(ddof=1)
-    std = max(std, 1e-8)
     reward_done = (metric - mean - std) / std
     return reward_step, float(reward_done)
 

@@ -48,9 +48,12 @@ class FakeVOS:
         self.max_quality = max_quality
         self._sequence: str | None = None
 
-    def begin_sequence(self, frames: np.ndarray, num_objects: int, sequence=None):
-        assert sequence is not None, "FakeVOS needs the sequence name for its gt"
-        gt = self.registry.load_annotations(sequence)
+    def begin_sequence(
+        self, frames: np.ndarray, num_objects: int, sequence=None, gt=None
+    ):
+        if gt is None:
+            assert sequence is not None, "FakeVOS needs a sequence name or gt"
+            gt = self.registry.load_annotations(sequence)
         self._sequence = sequence
         return _FakeState(gt=gt, num_objects=num_objects)
 

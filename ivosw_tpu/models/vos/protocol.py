@@ -33,6 +33,25 @@ class SegmentationResult:
     state: Any
 
 
+def begin_sequence_compat(adapter, frames, num_objects, sequence=None, gt=None):
+    """Call begin_sequence with only the kwargs the adapter declares.
+
+    Real backbones need just the clip; the fake backbone also wants the
+    sequence name or a ground-truth override (training subsequences)."""
+    import inspect
+
+    kwargs = {}
+    try:
+        params = inspect.signature(adapter.begin_sequence).parameters
+    except (TypeError, ValueError):
+        params = {}
+    if "sequence" in params and sequence is not None:
+        kwargs["sequence"] = sequence
+    if "gt" in params and gt is not None:
+        kwargs["gt"] = gt
+    return adapter.begin_sequence(frames, num_objects, **kwargs)
+
+
 @runtime_checkable
 class VOSAdapter(Protocol):
     name: str
