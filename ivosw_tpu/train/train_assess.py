@@ -1,0 +1,172 @@
+"""AssessNet (QA model) trainer: masked MSE regression of per-frame J&F.
+
+Capability parity with reference ``quality_assessment.py:205-323``: per
+sample, the regression target is the J&F between the gt object label and the
+binarised prob map (prob > 0.8); samples whose label∪mask is empty are
+excluded from the loss; SGD(momentum 0.9, weight-decay 5e-4) with per-element
+gradient clamp ±1 and ExponentialLR(γ = 0.95) per epoch; checkpoint every 10
+epochs to ``weights/assess_net``.
+
+Documented divergence: the reference never calls ``optimizer.zero_grad()``
+in its loop (``quality_assessment.py:265-270``) so its gradients accumulate
+across steps — a bug, not a feature. This implementation computes fresh
+gradients per step (jax.grad is inherently zero-grad-correct).
+
+TPU-native design: the whole step — AssessNet train-mode forward with BN stat
+updates, the on-device J&F target (boundary F as convolutions,
+:mod:`ivosw_tpu.ops.metrics_jax`), masked loss, grads, clip, SGD — is ONE
+jitted program; augmentation stays on host (:mod:`ivosw_tpu.data.augment`).
+
+CLI: ``python -m ivosw_tpu.train.train_assess [key=value ...]``
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ivosw_tpu.core.config import Config, load_config
+from ivosw_tpu.models.assess import assess_forward, init_assess_variables
+from ivosw_tpu.ops.metrics_jax import batched_f_measure_jax, batched_jaccard_jax
+from ivosw_tpu.utils.misc import AverageMeter, create_stream_logger, set_random_seed
+
+MASK_TH = 0.8  # reference: masks = (probs > 0.8) (quality_assessment.py:244)
+
+
+def make_assess_optimizer(momentum: float, weight_decay: float):
+    """clip(±1) → +wd·param → momentum trace, torch-SGD semantics; the
+    learning rate (with its exponential epoch decay) scales updates in the
+    step so one optimizer state serves the whole schedule."""
+    return optax.chain(
+        optax.clip(1.0),
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+    )
+
+
+def _target_metric(labels, masks, metric: str):
+    """Per-sample J/F/J&F between binary label and binarised prob mask."""
+    lab = labels.astype(jnp.int32)
+    msk = masks.astype(jnp.int32)
+    if metric == "J":
+        return batched_jaccard_jax(lab, msk, nb_objects=1)[:, 0]
+    if metric == "F":
+        return batched_f_measure_jax(lab, msk, nb_objects=1)[:, 0]
+    j = batched_jaccard_jax(lab, msk, nb_objects=1)[:, 0]
+    f = batched_f_measure_jax(lab, msk, nb_objects=1)[:, 0]
+    return 0.5 * j + 0.5 * f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("optimizer", "metric"),
+    donate_argnames=("variables", "opt_state"),
+)
+def assess_train_step(
+    variables, opt_state, batch, lr, optimizer, metric: str = "J_AND_F"
+):
+    """One fused device step. batch: img [B,H,W,3], prob [B,H,W],
+    label [B,H,W]. Returns (variables, opt_state, loss, diff, n_valid)."""
+    labels = batch["label"]
+    masks = (batch["prob"] > MASK_TH).astype(jnp.float32)
+    target = jax.lax.stop_gradient(_target_metric(labels, masks, metric))
+    union = jnp.sum(
+        jnp.logical_or(labels > 0, masks > 0), axis=(-2, -1)
+    ).astype(jnp.float32)
+    valid = (union > 0).astype(jnp.float32)
+    n_valid = jnp.maximum(valid.sum(), 1.0)
+
+    def loss_fn(params):
+        vars_in = {"params": params, "batch_stats": variables["batch_stats"]}
+        pred, mutated = assess_forward(
+            vars_in, batch["img"], batch["prob"], train=True
+        )
+        pred = pred[:, 0]
+        per_sample = (pred - target) ** 2
+        loss = jnp.sum(per_sample * valid) / n_valid
+        diff = jnp.sum(jnp.abs(pred - target) * valid) / n_valid
+        return loss, (mutated["batch_stats"], diff)
+
+    (loss, (new_stats, diff)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+    updates = jax.tree.map(lambda u: -lr * u, updates)
+    params = optax.apply_updates(variables["params"], updates)
+    return (
+        {"params": params, "batch_stats": new_stats},
+        opt_state,
+        loss,
+        diff,
+        valid.sum(),
+    )
+
+
+def run(
+    cfg: Config,
+    registry=None,
+    save_result_dir: str = os.path.join("data", "quality_assessment"),
+    variables=None,
+    num_epochs: Optional[int] = None,
+    log=None,
+):
+    from ivosw_tpu.data.augment import QAAugmentPipeline
+    from ivosw_tpu.data.qa_dataset import QARegressionDataset
+    from ivosw_tpu.data.registry import registry_from_config
+    from ivosw_tpu.utils.checkpoint import save_assess_checkpoint
+
+    log = log or create_stream_logger("train_assess")
+    set_random_seed(cfg.seed)
+    registry = registry or registry_from_config(cfg)
+    a = cfg.assess_net
+    num_epochs = num_epochs or a.num_epochs
+
+    if variables is None:
+        variables = init_assess_variables(jax.random.PRNGKey(cfg.seed))
+    optimizer = make_assess_optimizer(a.momentum, a.weight_decay)
+    opt_state = optimizer.init(variables["params"])
+
+    metric = cfg.davis_interactive.metric
+    loss_meter = AverageMeter()
+    for epoch in range(1, num_epochs + 1):
+        lr = a.lr * (a.gamma ** (epoch - 1))  # ExponentialLR
+        transform = QAAugmentPipeline(seed=cfg.seed + epoch)
+        dataset = QARegressionDataset(
+            registry, save_result_dir, transform=transform, seed=cfg.seed + epoch
+        )
+        epoch_loss = AverageMeter()
+        for i, batch in enumerate(dataset.batches(a.train_batch_size)):
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            variables, opt_state, loss, diff, n_valid = assess_train_step(
+                variables, opt_state, device_batch, jnp.float32(lr), optimizer, metric
+            )
+            if float(n_valid) == 0:
+                continue
+            loss_meter.update(float(loss))
+            epoch_loss.update(float(loss))
+            log.info(
+                f"Epoch [{epoch}/{num_epochs}][{i}] loss:{float(loss):.4f} "
+                f"diff:{float(diff):.4f} lr:{lr:.2e}"
+            )
+        log.info(f"* Epoch {epoch}: loss {epoch_loss.avg:.6f}")
+        if epoch % 10 == 0 or epoch == num_epochs:
+            save_assess_checkpoint(variables, cfg.ckpt_dir)
+    return {"loss_avg": loss_meter.avg, "variables": variables}
+
+
+def main(argv=None):
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = load_config("configs/config.yaml", [a for a in argv if "=" in a])
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()
