@@ -1,0 +1,153 @@
+"""Benchmark: QA + agent scored frames/sec/chip (the BASELINE.json headline).
+
+Measures the fused per-round recommendation pass — AssessNet scores every
+(frame, object) pair of a DAVIS-480p-shaped clip (on-device bbox + separable
+MXU ROI crop + bf16 ResNet-50) and the Brain BiLSTM turns per-frame state
+into Q-values — as ONE jitted device program.
+
+``vs_baseline`` is measured in the same process on the same chip against a
+faithful emulation of the reference's execution structure
+(``utils/utils_agent.py:103-121`` + ``models/assessment.py:110-161``): one
+AssessNet call per object, each with the bbox computed on HOST (device→host
+mask transfer, NumPy per-item loop, host→device box upload) exactly where
+``all2yxhw`` does ``.cpu().numpy()``, and the Q-pass dispatched separately.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+T, O, H, W = 64, 3, 480, 854
+WARMUP, ITERS = 2, 8
+
+
+def _ref_style_bbox_host(mask_np: np.ndarray, scale=1.5) -> np.ndarray:
+    """Host bbox with the reference's rules (models/assessment.py:110-161)."""
+    out = np.zeros((mask_np.shape[0], 4), dtype=np.float32)
+    for b in range(mask_np.shape[0]):
+        ys, xs = np.where(mask_np[b] >= 0.49)
+        if ys.size == 0:
+            ymin, ymax, xmin, xmax = 0, mask_np.shape[1], 0, mask_np.shape[2]
+        else:
+            ymin, ymax, xmin, xmax = ys.min(), ys.max(), xs.min(), xs.max()
+        if (ymax - ymin) < 128:
+            r = 128.0 - (ymax - ymin)
+            ymin -= int(r / 2)
+            ymax += int(r / 2)
+        if (xmax - xmin) < 128:
+            r = 128.0 - (xmax - xmin)
+            xmin -= int(r / 2)
+            xmax += int(r / 2)
+        oh, ow = ymax - ymin + 1, xmax - xmin + 1
+        ymin = max(-5, ymin - (scale - 1) / 2 * oh)
+        ymax = min(mask_np.shape[1] + 5, ymax + (scale - 1) / 2 * oh)
+        xmin = max(-5, xmin - (scale - 1) / 2 * ow)
+        xmax = min(mask_np.shape[2] + 5, xmax + (scale - 1) / 2 * ow)
+        out[b] = [(ymax + ymin) / 2, (xmax + xmin) / 2, ymax - ymin + 1, xmax - xmin + 1]
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ivosw_tpu.models.assess import (
+        AssessNet,
+        init_assess_variables,
+        mean_object_quality,
+        score_clip,
+    )
+    from ivosw_tpu.models.brain import brain_forward, init_brain_params
+    from ivosw_tpu.ops.roi import roi_crop
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((T, H, W, 3)), jnp.float32)
+    probs_np = np.zeros((T, O, H, W), dtype=np.float32)
+    for t in range(T):
+        for o in range(O):
+            y = (t * 5 + o * 40) % (H - 160)
+            x = (t * 7 + o * 60) % (W - 200)
+            probs_np[t, o, y : y + 150, x : x + 190] = 0.9
+    probs = jnp.asarray(probs_np)
+    obj_valid = jnp.ones((O,), jnp.float32)
+    counts = jnp.zeros((T,), jnp.float32)
+
+    assess_vars = init_assess_variables(jax.random.PRNGKey(0))
+    brain_params = init_brain_params(jax.random.PRNGKey(1))
+
+    # ------------------------------------------------------ fused program --
+    @jax.jit
+    def fused_round(assess_vars, brain_params, frames, probs, obj_valid, counts):
+        scores = score_clip(assess_vars, frames, probs, obj_valid)
+        quality = mean_object_quality(scores, obj_valid)
+        state = jnp.stack([quality, counts], axis=1)[None]
+        return brain_forward(brain_params, state)[0], quality
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(
+            fused_round(assess_vars, brain_params, frames, probs, obj_valid, counts)
+        )
+    tic = time.perf_counter()
+    for _ in range(ITERS):
+        out = fused_round(assess_vars, brain_params, frames, probs, obj_valid, counts)
+    jax.block_until_ready(out)
+    fused_time = (time.perf_counter() - tic) / ITERS
+    fused_fps = T / fused_time
+
+    # --------------------------------- reference-structure emulation ------
+    model = AssessNet()
+
+    @jax.jit
+    def encode_with_box(assess_vars, frames, prob, box):
+        tf_roi = roi_crop(frames, box, 256)
+        tp_roi = roi_crop(prob[..., None], box, 256)
+        return model.apply(assess_vars, tf_roi, tp_roi, train=False)
+
+    @jax.jit
+    def brain_only(brain_params, state):
+        return brain_forward(brain_params, state)
+
+    def reference_style_round():
+        scores = np.zeros((T, O), dtype=np.float32)
+        for o in range(O):  # per-object python loop (utils_agent.py:107-119)
+            prob_o = probs[:, o]
+            mask_host = np.asarray(prob_o > 0.5, dtype=np.float32)  # dev→host
+            box = jnp.asarray(_ref_style_bbox_host(mask_host))  # host→dev
+            q = encode_with_box(assess_vars, frames, prob_o, box)
+            scores[:, o] = np.asarray(q)[:, 0]  # dev→host per call
+        quality = scores.mean(axis=1)
+        state = np.stack([quality, np.asarray(counts)], axis=1)[None]
+        return np.asarray(brain_only(brain_params, jnp.asarray(state)))
+
+    reference_style_round()  # warmup
+    tic = time.perf_counter()
+    for _ in range(max(ITERS // 2, 2)):
+        reference_style_round()
+    ref_time = (time.perf_counter() - tic) / max(ITERS // 2, 2)
+    ref_fps = T / ref_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "qa_agent_scored_frames_per_sec",
+                "value": round(fused_fps, 2),
+                "unit": "frames/s (480p, 3 objects, QA+Q-values per frame)",
+                "vs_baseline": round(fused_fps / ref_fps, 2),
+                "detail": {
+                    "fused_ms_per_round": round(fused_time * 1e3, 2),
+                    "reference_style_ms_per_round": round(ref_time * 1e3, 2),
+                    "clip": {"T": T, "O": O, "H": H, "W": W},
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
