@@ -1,0 +1,342 @@
+"""MatchNet: pixel-matching VOS backbone (MANet-family), JAX-native.
+
+Capability parity with the reference's MANet path
+(``utils/utils_manet.py:59-163`` + the external VOS/MANet repo): per-sequence
+frame embeddings are precomputed ONCE (``eval_agent_manet.py:315-334``); an
+interaction head segments the scribbled frame from its embedding + scribble
+labels + previous-round label; a propagation head walks frames forward then
+backward from the annotated frame, conditioning each step on
+
+- GLOBAL matching: per-object max feature-similarity maps against the
+  annotated reference frame (accumulated across rounds with a running max —
+  MANet's eval_global_map),
+- LOCAL matching: the same against the immediately previous frame,
+- the previous frame's label map,
+
+then argmax over objects (softmax probabilities returned).
+
+TPU-native design: similarity maps are plain [P, P] matmuls on the MXU with
+masked-max reductions — the matching core of MANet without its per-frame
+Python loop; both propagation directions are one `lax.scan` over a
+host-computed frame permutation (shared machinery with TAPNet).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ivosw_tpu.data.scribbles import scribble_masks_per_object
+from ivosw_tpu.models.vos.layers import ConvBlock, VOSDecoder, VOSEncoder
+from ivosw_tpu.models.vos.tapnet import prop_order
+
+
+class IntHead(nn.Module):
+    """Interaction head: embedding ⊕ scribble maps ⊕ prev label → logits."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, emb_r4, emb_r3, emb_r2, scrib_feat, prev_feat, out_hw):
+        # emb_r4: [O, h16, w16, C]; scrib_feat/prev_feat: [O, h16, w16, k]
+        x = jnp.concatenate(
+            [emb_r4.astype(self.dtype), scrib_feat, prev_feat], axis=-1
+        )
+        x = ConvBlock(256, 3, 1, self.dtype, name="int1")(x)
+        x = ConvBlock(256, 3, 1, self.dtype, name="int2")(x)
+        return VOSDecoder(dtype=self.dtype, name="int_dec")(x, emb_r3, emb_r2, out_hw)
+
+
+class PropHead(nn.Module):
+    """Propagation head: embedding ⊕ global/local match maps ⊕ prev label."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, emb_r4, emb_r3, emb_r2, match_feat, prev_feat, out_hw):
+        x = jnp.concatenate(
+            [emb_r4.astype(self.dtype), match_feat, prev_feat], axis=-1
+        )
+        x = ConvBlock(256, 3, 1, self.dtype, name="prop1")(x)
+        x = ConvBlock(256, 3, 1, self.dtype, name="prop2")(x)
+        return VOSDecoder(dtype=self.dtype, name="prop_dec")(x, emb_r3, emb_r2, out_hw)
+
+
+class MatchNet(nn.Module):
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = VOSEncoder(dtype=self.dtype, name="emb_enc")
+        self.int_head = IntHead(dtype=self.dtype)
+        self.prop_head = PropHead(dtype=self.dtype)
+
+    def encode(self, frames):
+        return self.encoder(frames)
+
+    def interact(self, emb_r4, emb_r3, emb_r2, scrib_feat, prev_feat, out_hw):
+        return self.int_head(emb_r4, emb_r3, emb_r2, scrib_feat, prev_feat, out_hw)
+
+    def propagate(self, emb_r4, emb_r3, emb_r2, match_feat, prev_feat, out_hw):
+        return self.prop_head(emb_r4, emb_r3, emb_r2, match_feat, prev_feat, out_hw)
+
+    def __call__(self, frames, scrib_feat, prev_feat, out_hw):  # init path
+        r4, r3, r2 = self.encoder(frames)
+        o = scrib_feat.shape[0]
+        r4o = jnp.broadcast_to(r4, (o,) + r4.shape[1:])
+        r3o = jnp.broadcast_to(r3, (o,) + r3.shape[1:])
+        r2o = jnp.broadcast_to(r2, (o,) + r2.shape[1:])
+        a = self.int_head(r4o, r3o, r2o, scrib_feat, prev_feat, out_hw)
+        b = self.prop_head(r4o, r3o, r2o, scrib_feat, prev_feat, out_hw)
+        return a, b
+
+
+# ------------------------------------------------------- jitted programs --
+def _encode_chunk(params, frames):
+    return MatchNet().apply({"params": params}, frames, method=MatchNet.encode)
+
+
+_encode_chunk_jit = jax.jit(_encode_chunk)
+
+
+def _downsample_to(maps, h, w):
+    """[K, H, W] → [K, h, w] (area-style via bilinear resize)."""
+    return jax.image.resize(maps, (maps.shape[0], h, w), method="bilinear")
+
+
+def _interact_jit_fn(params, emb_r4, emb_r3, emb_r2, scrib_maps, prev_label, out_hw):
+    """scrib_maps: [O+1, H, W]; prev_label: [O, H, W] probabilities."""
+    o = prev_label.shape[0]
+    h16, w16 = emb_r4.shape[0:2]
+    pos = _downsample_to(scrib_maps[1:], h16, w16)  # [O, h16, w16]
+    neg_all = jnp.clip(scrib_maps.sum(0, keepdims=True) - scrib_maps[1:], 0, 1)
+    neg = _downsample_to(neg_all, h16, w16)
+    prev = _downsample_to(prev_label, h16, w16)
+    scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
+    prev_feat = prev[..., None].astype(jnp.bfloat16)
+    r4o = jnp.broadcast_to(emb_r4[None], (o,) + emb_r4.shape)
+    r3o = jnp.broadcast_to(emb_r3[None], (o,) + emb_r3.shape)
+    r2o = jnp.broadcast_to(emb_r2[None], (o,) + emb_r2.shape)
+    logit = MatchNet().apply(
+        {"params": params}, r4o, r3o, r2o, scrib_feat, prev_feat, out_hw,
+        method=MatchNet.interact,
+    )
+    return jax.nn.sigmoid(logit)  # [O, H, W]
+
+
+_interact_jit = jax.jit(_interact_jit_fn, static_argnames=("out_hw",))
+
+
+def _object_sim_maps(emb, ref_emb, ref_probs, dtype=jnp.bfloat16):
+    """Max cosine-similarity map per object.
+
+    emb: [h16, w16, C]; ref_emb: [h16, w16, C]; ref_probs: [O, h16, w16].
+    Returns [O, h16, w16] in [-1, 1].
+    """
+    h, w, c = emb.shape
+    q = emb.reshape(h * w, c).astype(jnp.float32)
+    k = ref_emb.reshape(h * w, c).astype(jnp.float32)
+    qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
+    kn = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+    sim = jnp.einsum(
+        "pc,mc->pm", qn.astype(dtype), kn.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )  # [P, M]
+    memb = ref_probs.reshape(ref_probs.shape[0], h * w) > 0.5  # [O, M]
+    masked = jnp.where(memb[:, None, :], sim[None], -1.0)  # [O, P, M]
+    return jnp.max(masked, axis=-1).reshape(-1, h, w)
+
+
+def _propagate_round_fn(
+    params,
+    emb_r4_ord,  # [N, h16, w16, C] in prop order
+    emb_r3_ord,
+    emb_r2_ord,
+    ref_emb,  # [h16, w16, C] annotated frame embedding
+    anno_prob,  # [O, H, W]
+    global_map_init,  # [O, h16, w16] running max across rounds
+    prev_round_ord,  # [N, O, H, W]
+    reset_ord,  # [N]
+    valid_ord,  # [N]
+    out_hw,
+):
+    model = MatchNet()
+    o = anno_prob.shape[0]
+    h16, w16 = ref_emb.shape[0:2]
+    ref_probs16 = _downsample_to(anno_prob, h16, w16)
+
+    def body(carry, inp):
+        prev_prob, prev_emb, global_map = carry
+        r4c, r3c, r2c, prev_round_t, reset_t, valid_t = inp
+        prev_prob = jnp.where(reset_t > 0, anno_prob, prev_prob)
+        prev_emb = jnp.where(reset_t > 0, ref_emb, prev_emb)
+
+        g = _object_sim_maps(r4c, ref_emb, ref_probs16)  # [O, h16, w16]
+        global_new = jnp.maximum(global_map, g)
+        prev16 = _downsample_to(prev_prob, h16, w16)
+        l = _object_sim_maps(r4c, prev_emb, prev16)
+
+        match_feat = jnp.stack([global_new, l], axis=-1).astype(jnp.bfloat16)
+        prev_feat = prev16[..., None].astype(jnp.bfloat16)
+        r4o = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
+        r3o = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
+        r2o = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
+        logit = model.apply(
+            {"params": params}, r4o, r3o, r2o, match_feat, prev_feat, out_hw,
+            method=MatchNet.propagate,
+        )
+        prob = jax.nn.sigmoid(logit)
+        out = jnp.where(valid_t > 0, prob, prev_round_t)
+        new_prev = jnp.where(valid_t > 0, prob, prev_prob)
+        new_emb = jnp.where(valid_t > 0, r4c, prev_emb)
+        gm = jnp.where(valid_t > 0, global_new, global_map)
+        return (new_prev, new_emb, gm), out
+
+    (final_prob, _, global_final), outs = jax.lax.scan(
+        body,
+        (anno_prob, ref_emb, global_map_init),
+        (
+            emb_r4_ord,
+            emb_r3_ord,
+            emb_r2_ord,
+            prev_round_ord,
+            reset_ord[:, None, None, None],
+            valid_ord[:, None, None, None],
+        ),
+    )
+    return outs, global_final
+
+
+_propagate_round_jit = jax.jit(_propagate_round_fn, static_argnames=("out_hw",))
+
+
+# ----------------------------------------------------------------- state --
+@dataclass
+class _MatchState:
+    feats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    num_objects: int
+    hw: Tuple[int, int]
+    prob_maps: np.ndarray  # [T, O, H, W]
+    global_map: jnp.ndarray  # [O, h16, w16] running max over rounds
+    annotated: List[int] = field(default_factory=list)
+    round: int = 0
+
+
+class MatchNetAdapter:
+    name = "matchnet"
+
+    def __init__(self, params, encode_chunk: int = 8, scribble_dilation: int = 3):
+        self.params = params
+        self.encode_chunk = encode_chunk
+        self.scribble_dilation = scribble_dilation
+
+    @classmethod
+    def create(cls, seed: int = 0, ckpt_dir: Optional[str] = None):
+        params = None
+        if ckpt_dir is not None:
+            import os
+
+            from ivosw_tpu.utils.checkpoint import load_pytree
+
+            tree = load_pytree(os.path.join(ckpt_dir, "matchnet.orbax"))
+            if tree is not None:
+                params = tree.get("params", tree)
+        if params is None:
+            params = init_matchnet_params(seed)
+        return cls(params)
+
+    def begin_sequence(self, frames: np.ndarray, num_objects: int):
+        t, h, w = frames.shape[:3]
+        r4s, r3s, r2s = [], [], []
+        chunk = self.encode_chunk
+        for s in range(0, t, chunk):
+            e = min(s + chunk, t)
+            f = frames[s:e]
+            if e - s < chunk:
+                f = np.concatenate(
+                    [f, np.zeros((chunk - (e - s),) + f.shape[1:], f.dtype)]
+                )
+            r4, r3, r2 = _encode_chunk_jit(self.params, jnp.asarray(f))
+            r4s.append(np.asarray(r4[: e - s]))
+            r3s.append(np.asarray(r3[: e - s]))
+            r2s.append(np.asarray(r2[: e - s]))
+        feats = (
+            jnp.asarray(np.concatenate(r4s)),
+            jnp.asarray(np.concatenate(r3s)),
+            jnp.asarray(np.concatenate(r2s)),
+        )
+        h16, w16 = feats[0].shape[1:3]
+        return _MatchState(
+            feats=feats,
+            num_objects=num_objects,
+            hw=(h, w),
+            prob_maps=np.zeros((t, num_objects, h, w), dtype=np.float32),
+            global_map=jnp.full((num_objects, h16, w16), -1.0, jnp.float32),
+        )
+
+    def segment(
+        self, state: _MatchState, scribbles: Dict, annotated_frame: int, n_interaction: int
+    ):
+        state.round = n_interaction
+        t = state.prob_maps.shape[0]
+        h, w = state.hw
+        a = int(annotated_frame)
+
+        scrib_maps = scribble_masks_per_object(
+            scribbles, (h, w), a, state.num_objects, dilation=self.scribble_dilation
+        )
+        prev_label = state.prob_maps[a]
+        anno_prob = np.asarray(
+            _interact_jit(
+                self.params,
+                state.feats[0][a],
+                state.feats[1][a],
+                state.feats[2][a],
+                jnp.asarray(scrib_maps),
+                jnp.asarray(prev_label),
+                (h, w),
+            ),
+            dtype=np.float32,
+        )
+        state.annotated.append(a)
+
+        order, reset, valid = prop_order(t, a)
+        if len(order) > 0:
+            outs, global_final = _propagate_round_jit(
+                self.params,
+                state.feats[0][order],
+                state.feats[1][order],
+                state.feats[2][order],
+                state.feats[0][a],
+                jnp.asarray(anno_prob),
+                state.global_map,
+                jnp.asarray(state.prob_maps[order]),
+                jnp.asarray(reset),
+                jnp.asarray(valid),
+                (h, w),
+            )
+            state.prob_maps[order] = np.asarray(outs, dtype=np.float32)
+            state.global_map = global_final
+        state.prob_maps[a] = anno_prob
+
+        fg = state.prob_maps
+        bg = np.clip(1.0 - fg.max(axis=1, keepdims=True), 0.0, 1.0)
+        all_p = np.concatenate([bg, fg], axis=1)
+        labels = np.where(fg.max(axis=1) > 0.5, fg.argmax(axis=1) + 1, 0).astype(
+            np.int32
+        )
+        return labels, all_p, state
+
+
+def init_matchnet_params(seed: int = 0, hw=(64, 64)):
+    model = MatchNet()
+    h, w = hw
+    frames = jnp.zeros((1, h, w, 3), jnp.float32)
+    scrib = jnp.zeros((2, h // 16, w // 16, 2), jnp.bfloat16)
+    prev = jnp.zeros((2, h // 16, w // 16, 1), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(seed), frames, scrib, prev, (h, w))
+    return variables["params"]
