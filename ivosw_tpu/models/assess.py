@@ -28,7 +28,7 @@ from ivosw_tpu.models.resnet import (
     IMAGENET_STD,
     ResNet50Trunk,
 )
-from ivosw_tpu.ops.roi import mask_to_yxhw, roi_crop
+from ivosw_tpu.ops.roi import mask_to_yxhw
 
 ROI_SIZE = 256
 
@@ -91,8 +91,13 @@ def assess_forward(
     """
     tm = (tp > 0.5).astype(jnp.float32)
     tb = mask_to_yxhw(tm, scale=1.5)
-    tf_roi = roi_crop(tf, tb, ROI_SIZE)
-    tp_roi = roi_crop(tp[..., None], tb, ROI_SIZE)
+    # fused C=4 crop: frame and prob map share one separable-matmul pass
+    # (one image read instead of two; pallas kernel when enabled)
+    from ivosw_tpu.kernels.roi_pallas import roi_crop_best
+
+    fused = jnp.concatenate([tf, tp[..., None]], axis=-1).astype(jnp.float32)
+    roi = roi_crop_best(fused, tb, ROI_SIZE)
+    tf_roi, tp_roi = roi[..., :3], roi[..., 3:]
     model = AssessNet(dtype=dtype)
     if train:
         return model.apply(

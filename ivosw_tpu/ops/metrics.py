@@ -128,12 +128,22 @@ def batched_jaccard(
     y_pred: np.ndarray,
     average_over_objects: bool = True,
     nb_objects: int | None = None,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Per-frame Jaccard over object ids 1..nb_objects.
 
-    Returns [T] if averaged over objects else [T, nb_objects].
+    Returns [T] if averaged over objects else [T, nb_objects]. backend:
+    'auto' uses the C++/OpenMP library when it builds, else pure NumPy.
     """
     y_true, y_pred, nb_objects = _check_inputs(y_true, y_pred, nb_objects)
+    if backend in ("auto", "native"):
+        from ivosw_tpu.ops import metrics_native as mn
+
+        if mn.available():
+            jac = mn.batched_jaccard_native(y_true, y_pred, nb_objects)
+            return jac.mean(axis=1) if average_over_objects else jac
+        if backend == "native":
+            raise RuntimeError("native metrics library unavailable")
     T = y_true.shape[0]
     jac = np.empty((T, nb_objects), dtype=np.float64)
     for t in range(T):
@@ -155,9 +165,22 @@ def batched_f_measure(
     average_over_objects: bool = True,
     nb_objects: int | None = None,
     bound_th: float = 0.008,
+    backend: str = "auto",
 ) -> np.ndarray:
-    """Per-frame boundary F-measure over object ids 1..nb_objects."""
+    """Per-frame boundary F-measure over object ids 1..nb_objects.
+
+    backend 'auto': the C++/OpenMP exact-EDT implementation when available
+    (the host-side hot path of every interactive round), else NumPy/cv2.
+    """
     y_true, y_pred, nb_objects = _check_inputs(y_true, y_pred, nb_objects)
+    if backend in ("auto", "native"):
+        from ivosw_tpu.ops import metrics_native as mn
+
+        if mn.available():
+            f = mn.batched_f_measure_native(y_true, y_pred, nb_objects, bound_th)
+            return f.mean(axis=1) if average_over_objects else f
+        if backend == "native":
+            raise RuntimeError("native metrics library unavailable")
     T = y_true.shape[0]
     f = np.empty((T, nb_objects), dtype=np.float64)
     for t in range(T):
