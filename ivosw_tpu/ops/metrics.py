@@ -109,6 +109,21 @@ def f_measure_single(
     return 2.0 * precision * recall / (precision + recall)
 
 
+def _prefer_native() -> bool:
+    """'auto' policy: the C++/OpenMP path wins when it can parallelise the
+    (frame, object) batch or when cv2's SIMD dilate isn't available; on a
+    single core with cv2 present, the NumPy/cv2 path is faster (measured)."""
+    import os
+
+    try:
+        import cv2  # noqa: F401
+
+        has_cv2 = True
+    except ImportError:
+        has_cv2 = False
+    return (not has_cv2) or (os.cpu_count() or 1) >= 4
+
+
 def _check_inputs(y_true, y_pred, nb_objects):
     y_true = np.asarray(y_true)
     y_pred = np.asarray(y_pred)
@@ -136,7 +151,7 @@ def batched_jaccard(
     'auto' uses the C++/OpenMP library when it builds, else pure NumPy.
     """
     y_true, y_pred, nb_objects = _check_inputs(y_true, y_pred, nb_objects)
-    if backend in ("auto", "native"):
+    if backend == "native" or (backend == "auto" and _prefer_native()):
         from ivosw_tpu.ops import metrics_native as mn
 
         if mn.available():
@@ -173,7 +188,7 @@ def batched_f_measure(
     (the host-side hot path of every interactive round), else NumPy/cv2.
     """
     y_true, y_pred, nb_objects = _check_inputs(y_true, y_pred, nb_objects)
-    if backend in ("auto", "native"):
+    if backend == "native" or (backend == "auto" and _prefer_native()):
         from ivosw_tpu.ops import metrics_native as mn
 
         if mn.available():
