@@ -105,6 +105,29 @@ def scribbles2mask(
     return out
 
 
+def rough_roi_filter(
+    scribble_label: np.ndarray, dist: int = 20, background_value: int = 0
+) -> np.ndarray:
+    """Keep scribble labels only inside the ±dist bbox of all scribbles.
+
+    Capability parity with MANet's rough_ROI (reference
+    utils/utils_manet.py:22-39): pixels outside the padded bounding box of
+    every non-background scribble are reset. scribble_label: [H, W] with -1
+    (or background_value) marking no-scribble.
+    """
+    label = np.asarray(scribble_label)
+    h, w = label.shape
+    ys, xs = np.nonzero(label != -1)
+    if len(ys) == 0:
+        return label.copy()
+    keep = np.zeros_like(label, dtype=bool)
+    keep[
+        max(int(ys.min()) - dist, 0) : min(int(ys.max()) + dist, h - 1),
+        max(int(xs.min()) - dist, 0) : min(int(xs.max()) + dist, w - 1),
+    ] = True
+    return np.where(keep, label, background_value)
+
+
 def scribble_masks_per_object(
     scribbles: Dict,
     output_resolution,

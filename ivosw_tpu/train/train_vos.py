@@ -1,0 +1,198 @@
+"""Native VOS backbone trainer (TAPNet interaction + propagation).
+
+The reference has NO backbone training: its three VOS backbones are external
+git clones with downloaded pretrained weights (``README.md:35-41``). A
+standalone framework needs a native path from raw clips to working backbone
+weights — this trainer provides it for the flagship TAPNet family.
+
+Training sample = a K-frame window with the annotated frame at index 0
+(windows are drawn forward and reversed with equal probability, so the
+transfer net learns both propagation directions). Per step, ONE jitted
+program runs:
+
+  A-Net on the scribbled frame (round-1 interaction channels:
+  [0.5-map, positive scribble, zeros] per utils/utils_atnet.py:31-39) →
+  T-Net `lax.scan` over frames 1..K-1 carrying its own predictions (matching
+  inference, no teacher forcing) → per-frame sigmoid BCE against the object
+  masks → grads through the scan → Adam.
+
+Scribbles are synthesised on host by the same robot the evaluation session
+uses, so train and eval inputs share a distribution.
+
+CLI: ``python -m ivosw_tpu.train.train_vos [key=value ...]``
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ivosw_tpu.core.config import Config, load_config
+from ivosw_tpu.models.vos.tapnet import TAPNet
+from ivosw_tpu.utils.misc import AverageMeter, create_stream_logger, set_random_seed
+
+
+def bce_with_logits(logit, target, eps: float = 1e-7):
+    p = jax.nn.log_sigmoid(logit)
+    q = jax.nn.log_sigmoid(-logit)
+    return -(target * p + (1.0 - target) * q)
+
+
+def tapnet_window_loss(params, batch):
+    """batch: img [K,H,W,3], gt [O,K,H,W] float binary, interaction [O,H,W,3]."""
+    model = TAPNet()
+    img = batch["img"]
+    gt = batch["gt"]
+    interaction = batch["interaction"]
+    o = gt.shape[0]
+    k = img.shape[0]
+    hw = img.shape[1:3]
+
+    img0 = jnp.broadcast_to(img[0][None], (o,) + img[0].shape)
+    anno_logit, anno_r4 = model.apply(
+        {"params": params}, img0, interaction, method=TAPNet.interact
+    )
+    loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
+    anno_prob = jax.nn.sigmoid(anno_logit)
+
+    r4s, r3s, r2s = model.apply({"params": params}, img, method=TAPNet.encode_frames)
+    p = anno_r4.shape[1] * anno_r4.shape[2]
+    mem_keys = anno_r4.reshape(o, p, -1)
+    mem_valid = jnp.ones((o, p), jnp.float32)
+
+    def body(carry, inp):
+        r4c, r3c, r2c, gt_t = inp
+        r4b = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
+        r3b = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
+        r2b = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
+        logit = model.apply(
+            {"params": params}, r4b, r3b, r2b, mem_keys, mem_valid, carry, hw,
+            method=TAPNet.transfer,
+        )
+        step_loss = jnp.mean(bce_with_logits(logit, gt_t))
+        return jax.nn.sigmoid(logit), step_loss
+
+    gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))  # [K-1, O, H, W]
+    _, step_losses = jax.lax.scan(
+        body, anno_prob, (r4s[1:], r3s[1:], r2s[1:], gt_prop)
+    )
+    return loss + jnp.mean(step_losses)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("optimizer",), donate_argnames=("params", "opt_state")
+)
+def tapnet_train_step(params, opt_state, batch, optimizer):
+    loss, grads = jax.value_and_grad(tapnet_window_loss)(params, batch)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def sample_windows(
+    registry,
+    sequences,
+    rng: np.random.Generator,
+    window: int,
+    robot,
+    scribble_dilation: int = 3,
+) -> Iterator[dict]:
+    """Infinite stream of training windows (host-side)."""
+    from ivosw_tpu.data.scribbles import scribble_masks_per_object
+
+    while True:
+        seq = sequences[int(rng.integers(len(sequences)))]
+        frames = registry.load_images(seq)
+        gt = registry.load_annotations(seq)
+        t = frames.shape[0]
+        if t < window:
+            continue
+        start = int(rng.integers(0, t - window + 1))
+        img = frames[start : start + window]
+        g = gt[start : start + window]
+        if rng.random() < 0.5:  # reversed windows train backward propagation
+            img = img[::-1].copy()
+            g = g[::-1].copy()
+        n_obj = int(g.max())
+        if n_obj == 0:
+            continue
+        scrib = robot.interact(seq, np.zeros_like(g), g, n_obj, frame=0)
+        h, w = g.shape[1:]
+        maps = scribble_masks_per_object(
+            scrib, (h, w), 0, n_obj, dilation=scribble_dilation
+        )
+        interaction = np.zeros((n_obj, h, w, 3), dtype=np.float32)
+        gt_onehot = np.zeros((n_obj, window, h, w), dtype=np.float32)
+        for obj in range(1, n_obj + 1):
+            interaction[obj - 1] = np.stack(
+                [np.full((h, w), 0.5, np.float32), maps[obj], np.zeros((h, w), np.float32)],
+                axis=-1,
+            )
+            gt_onehot[obj - 1] = (g == obj).astype(np.float32)
+        yield {
+            "img": img.astype(np.float32),
+            "gt": gt_onehot,
+            "interaction": interaction,
+        }
+
+
+def run(
+    cfg: Config,
+    registry=None,
+    num_steps: int = 2000,
+    window: int = 4,
+    lr: float = 1e-4,
+    params=None,
+    log=None,
+    save_every: int = 500,
+):
+    from ivosw_tpu.data.registry import registry_from_config
+    from ivosw_tpu.interact.robot import ScribbleRobot
+    from ivosw_tpu.models.vos.tapnet import init_tapnet_params
+    from ivosw_tpu.utils.checkpoint import save_pytree
+
+    log = log or create_stream_logger("train_vos")
+    rng = set_random_seed(cfg.seed)
+    registry = registry or registry_from_config(cfg)
+    sequences = registry.subset(cfg.data.subset)
+    robot = ScribbleRobot(seed=cfg.seed)
+
+    if params is None:
+        params = init_tapnet_params(cfg.seed)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    stream = sample_windows(registry, sequences, rng, window, robot)
+    loss_meter = AverageMeter()
+    for step in range(1, num_steps + 1):
+        batch = next(stream)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, opt_state, loss = tapnet_train_step(
+            params, opt_state, device_batch, optimizer
+        )
+        loss_meter.update(float(loss))
+        if step % 50 == 0 or step == 1:
+            log.info(f"step {step}/{num_steps} loss {float(loss):.4f} ({loss_meter.avg:.4f})")
+        if step % save_every == 0 or step == num_steps:
+            save_pytree(
+                os.path.join(cfg.ckpt_dir, "tapnet.orbax"), {"params": params}
+            )
+    return {"loss_avg": loss_meter.avg, "params": params}
+
+
+def main(argv=None):
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = load_config("configs/config.yaml", [a for a in argv if "=" in a])
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

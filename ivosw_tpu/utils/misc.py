@@ -88,6 +88,33 @@ class PhaseTimer:
         return {k: {"avg": m.avg, "count": m.count} for k, m in self.meters.items()}
 
 
+class profile_trace:
+    """Optional jax.profiler trace capture around a code region.
+
+    The reference's only tracing is wall-clock AverageMeters
+    (eval_agent_atnet.py:196-197); the TPU rebuild adds real profiler
+    capture: ``with profile_trace("/tmp/ivosw_trace"): ...`` then inspect
+    with TensorBoard/xprof. No-op when trace_dir is falsy.
+    """
+
+    def __init__(self, trace_dir=None):
+        self.trace_dir = trace_dir
+
+    def __enter__(self):
+        if self.trace_dir:
+            import jax
+
+            jax.profiler.start_trace(self.trace_dir)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self.trace_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
+
+
 def create_stream_logger(
     name: str = "ivosw_tpu", fmt: str = "%(name)s - %(message)s"
 ) -> logging.Logger:
