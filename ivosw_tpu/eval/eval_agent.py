@@ -84,6 +84,14 @@ def evaluate(
                 info = registry.info(sequence)
                 gt_masks = registry.load_annotations(sequence)
                 all_F = registry.load_images(sequence)
+                if cfg.setting == "wild" and cfg.method in ("ours", "worst"):
+                    # one upload per sequence; every round's fused QA pass
+                    # then reads frames from HBM instead of re-shipping them
+                    import jax.numpy as jnp
+
+                    all_F_dev = jnp.asarray(all_F)
+                else:
+                    all_F_dev = all_F
                 n_frame = info.num_frames
                 n_objects = info.num_objects
                 assert len(af) > 0
@@ -122,7 +130,7 @@ def evaluate(
                 agent,
                 n_frame=n_frame,
                 n_objects=n_objects,
-                all_F=all_F,
+                all_F=all_F_dev,
                 all_P=all_P,
                 new_masks_quality=new_masks_metric,
                 prev_frames=prev_frames,

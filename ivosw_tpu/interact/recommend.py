@@ -19,6 +19,7 @@ from __future__ import annotations
 import copy
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ivosw_tpu.data.replay import Transition
@@ -202,26 +203,26 @@ def predict_clip_quality(
     from ivosw_tpu.models.assess import score_clip
 
     t = all_F.shape[0]
-    probs = all_P[:, 1 : n_objects + 1]
+    # single upload if the caller passed host arrays; no-op for device arrays
+    # (the eval driver uploads frames once per sequence; probs stay on device
+    # in the JAX-native adapters — critical on tunnelled TPUs where H2D is
+    # the bottleneck, not FLOPs)
+    all_F = jnp.asarray(all_F)
+    probs = jnp.asarray(all_P)[:, 1 : n_objects + 1]
     obj_valid = jnp.ones((n_objects,), dtype=jnp.float32)
 
-    scores = np.zeros((t, n_objects), dtype=np.float32)
+    chunks = []
     for start in range(0, t, chunk):
         end = min(start + chunk, t)
         n = end - start
         f_chunk = all_F[start:end]
         p_chunk = probs[start:end]
-        if n < chunk:  # pad tail to the static chunk shape
-            f_chunk = np.concatenate(
-                [f_chunk, np.zeros((chunk - n,) + f_chunk.shape[1:], f_chunk.dtype)]
-            )
-            p_chunk = np.concatenate(
-                [p_chunk, np.zeros((chunk - n,) + p_chunk.shape[1:], p_chunk.dtype)]
-            )
-        s = np.asarray(
-            score_clip(assess_variables, jnp.asarray(f_chunk), jnp.asarray(p_chunk), obj_valid)
-        )
-        scores[start:end] = s[:n]
+        if n < chunk:  # pad tail to the static chunk shape (device-side)
+            f_chunk = jnp.pad(f_chunk, [(0, chunk - n)] + [(0, 0)] * 3)
+            p_chunk = jnp.pad(p_chunk, [(0, chunk - n)] + [(0, 0)] * 3)
+        s = score_clip(assess_variables, f_chunk, p_chunk, obj_valid)
+        chunks.append(s[:n])
+    scores = np.asarray(jnp.concatenate(chunks, axis=0), dtype=np.float32)
     return scores.mean(axis=1), scores
 
 

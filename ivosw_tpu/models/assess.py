@@ -120,14 +120,44 @@ def score_clip(
     probabilities (background channel already dropped); obj_valid: [O] 1/0
     mask for padded object slots. Returns [T, O] scores with invalid slots
     zeroed. Replaces the per-object host loop of utils/utils_agent.py:103-121.
+
+    The ROI crop contracts each frame ONCE per (t, o) pair through
+    pair-indexed interpolation matrices — the frame tensor is never
+    broadcast/materialised at T×O (that would be ~1 GB of HBM traffic at
+    DAVIS scale); only the 256² crops exist per pair.
     """
+    from ivosw_tpu.ops.roi import _interp_matrix, mask_to_yxhw, yxhw_to_minmax
+
     t, o = probs.shape[0], probs.shape[1]
     h, w = frames.shape[1], frames.shape[2]
-    tf = jnp.broadcast_to(frames[:, None], (t, o, h, w, 3)).reshape(t * o, h, w, 3)
-    tp = probs.reshape(t * o, h, w)
-    q = assess_forward(variables, tf, tp)  # [T*O, 1]
-    q = q.reshape(t, o)
-    return q * obj_valid[None, :]
+    s = ROI_SIZE
+
+    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(tm, scale=1.5)
+    ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
+    ry = _interp_matrix(ymin, ymax, h, s).reshape(t, o, s, h)
+    rx = _interp_matrix(xmin, xmax, w, s).reshape(t, o, s, w)
+
+    precision = jax.lax.Precision.HIGHEST
+    # frame crop: contract each frame's rows/cols with pair-indexed matrices
+    tmp_f = jnp.einsum(
+        "tosh,thwc->toswc", ry, frames, precision=precision
+    )  # [T, O, s, W, 3]
+    tf_roi = jnp.einsum(
+        "toxw,toswc->tosxc", rx, tmp_f, precision=precision
+    )  # [T, O, s, s, 3]
+    # prob crop: probs are already per-pair
+    tmp_p = jnp.einsum("tosh,tohw->tosw", ry, probs, precision=precision)
+    tp_roi = jnp.einsum("toxw,tosw->tosx", rx, tmp_p, precision=precision)
+
+    model = AssessNet(dtype=jnp.bfloat16)
+    q = model.apply(
+        variables,
+        tf_roi.reshape(t * o, s, s, 3),
+        tp_roi.reshape(t * o, s, s, 1),
+        train=False,
+    )
+    return q.reshape(t, o) * obj_valid[None, :]
 
 
 def mean_object_quality(scores: jnp.ndarray, obj_valid: jnp.ndarray) -> jnp.ndarray:

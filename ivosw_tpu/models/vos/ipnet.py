@@ -199,7 +199,7 @@ class _IPState:
     feats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     num_objects: int
     hw: Tuple[int, int]
-    prob_maps: np.ndarray
+    prob_maps: jnp.ndarray  # [T, O, H, W] (ON DEVICE)
     frame_cache: np.ndarray
     annotated: List[int] = field(default_factory=list)
     round: int = 0
@@ -251,7 +251,7 @@ class IPNetAdapter:
             ),
             num_objects=num_objects,
             hw=(h, w),
-            prob_maps=np.zeros((t, num_objects, h, w), dtype=np.float32),
+            prob_maps=jnp.zeros((t, num_objects, h, w), dtype=jnp.float32),
             frame_cache=np.asarray(frames, dtype=np.float32),
         )
 
@@ -271,48 +271,42 @@ class IPNetAdapter:
         pos = scrib[1:]
         neg = np.clip(any_scrib[None] - pos, 0.0, 1.0)
         img_o = np.broadcast_to(state.frame_cache[a][None], (o, h, w, 3))
-        prev_mask = state.prob_maps[a]
-        anno_prob = np.asarray(
-            _interact_jit(
-                self.params,
-                jnp.asarray(img_o),
-                jnp.asarray(pos),
-                jnp.asarray(neg),
-                jnp.asarray(prev_mask),
-            ),
-            dtype=np.float32,
+        anno_prob = _interact_jit(
+            self.params,
+            jnp.asarray(img_o),
+            jnp.asarray(pos),
+            jnp.asarray(neg),
+            state.prob_maps[a],
         )
 
-        ref_vec = _ref_vector(state.feats[0][a], jnp.asarray(anno_prob))
+        ref_vec = _ref_vector(state.feats[0][a], anno_prob)
         prev_annotated = np.array(state.annotated, dtype=np.int64)
         state.annotated.append(a)
 
         order, reset, valid = prop_order(t, a)
+        order_dev = jnp.asarray(order)
         fuse_w = get_weight(t, prev_annotated, a)
         if len(order) > 0:
             outs = _propagate_round_jit(
                 self.params,
-                state.feats[0][order],
-                state.feats[1][order],
-                state.feats[2][order],
+                state.feats[0][order_dev],
+                state.feats[1][order_dev],
+                state.feats[2][order_dev],
                 ref_vec,
-                jnp.asarray(anno_prob),
-                jnp.asarray(state.prob_maps[order]),
+                anno_prob,
+                state.prob_maps[order_dev],
                 jnp.asarray(fuse_w[order]),
                 jnp.asarray(reset),
                 jnp.asarray(valid),
                 (h, w),
             )
-            state.prob_maps[order] = np.asarray(outs, dtype=np.float32)
-        state.prob_maps[a] = anno_prob
+            state.prob_maps = state.prob_maps.at[order_dev].set(outs)
+        state.prob_maps = state.prob_maps.at[a].set(anno_prob)
 
-        fg = state.prob_maps
-        bg = np.clip(1.0 - fg.max(axis=1, keepdims=True), 0.0, 1.0)
-        all_p = np.concatenate([bg, fg], axis=1)
-        labels = np.where(fg.max(axis=1) > 0.5, fg.argmax(axis=1) + 1, 0).astype(
-            np.int32
-        )
-        return labels, all_p, state
+        from ivosw_tpu.models.vos.layers import labels_and_probs
+
+        labels_dev, all_p = labels_and_probs(state.prob_maps)
+        return np.asarray(labels_dev), all_p, state
 
 
 def init_ipnet_params(seed: int = 0, hw=(64, 64)):

@@ -131,6 +131,21 @@ def pad_to_multiple(x, mult: int, axes=(1, 2)):
     return jnp.pad(x, pads), tuple(pad_hw)
 
 
+@jax.jit
+def labels_and_probs(prob_maps: jnp.ndarray):
+    """[T, O, H, W] foreground probs → (labels [T,H,W] int32,
+    all_P [T, O+1, H, W] with background channel 0). Stays on device; the
+    adapter transfers only the labels to host (metrics/robot need them),
+    while all_P feeds the fused QA pass without a host round-trip."""
+    fg_max = prob_maps.max(axis=1)
+    labels = jnp.where(
+        fg_max > 0.5, jnp.argmax(prob_maps, axis=1) + 1, 0
+    ).astype(jnp.int32)
+    bg = jnp.clip(1.0 - fg_max, 0.0, 1.0)[:, None]
+    all_p = jnp.concatenate([bg, prob_maps], axis=1)
+    return labels, all_p
+
+
 def global_match_readout(query, memory_keys, memory_values, valid, dtype=jnp.bfloat16):
     """Attention readout of memory features (the matching op of
     matching-based VOS, expressed as two MXU matmuls).

@@ -220,7 +220,7 @@ class _MatchState:
     feats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     num_objects: int
     hw: Tuple[int, int]
-    prob_maps: np.ndarray  # [T, O, H, W]
+    prob_maps: jnp.ndarray  # [T, O, H, W] (ON DEVICE)
     global_map: jnp.ndarray  # [O, h16, w16] running max over rounds
     annotated: List[int] = field(default_factory=list)
     round: int = 0
@@ -274,7 +274,7 @@ class MatchNetAdapter:
             feats=feats,
             num_objects=num_objects,
             hw=(h, w),
-            prob_maps=np.zeros((t, num_objects, h, w), dtype=np.float32),
+            prob_maps=jnp.zeros((t, num_objects, h, w), dtype=jnp.float32),
             global_map=jnp.full((num_objects, h16, w16), -1.0, jnp.float32),
         )
 
@@ -289,47 +289,41 @@ class MatchNetAdapter:
         scrib_maps = scribble_masks_per_object(
             scribbles, (h, w), a, state.num_objects, dilation=self.scribble_dilation
         )
-        prev_label = state.prob_maps[a]
-        anno_prob = np.asarray(
-            _interact_jit(
-                self.params,
-                state.feats[0][a],
-                state.feats[1][a],
-                state.feats[2][a],
-                jnp.asarray(scrib_maps),
-                jnp.asarray(prev_label),
-                (h, w),
-            ),
-            dtype=np.float32,
+        anno_prob = _interact_jit(
+            self.params,
+            state.feats[0][a],
+            state.feats[1][a],
+            state.feats[2][a],
+            jnp.asarray(scrib_maps),
+            state.prob_maps[a],
+            (h, w),
         )
         state.annotated.append(a)
 
         order, reset, valid = prop_order(t, a)
+        order_dev = jnp.asarray(order)
         if len(order) > 0:
             outs, global_final = _propagate_round_jit(
                 self.params,
-                state.feats[0][order],
-                state.feats[1][order],
-                state.feats[2][order],
+                state.feats[0][order_dev],
+                state.feats[1][order_dev],
+                state.feats[2][order_dev],
                 state.feats[0][a],
-                jnp.asarray(anno_prob),
+                anno_prob,
                 state.global_map,
-                jnp.asarray(state.prob_maps[order]),
+                state.prob_maps[order_dev],
                 jnp.asarray(reset),
                 jnp.asarray(valid),
                 (h, w),
             )
-            state.prob_maps[order] = np.asarray(outs, dtype=np.float32)
+            state.prob_maps = state.prob_maps.at[order_dev].set(outs)
             state.global_map = global_final
-        state.prob_maps[a] = anno_prob
+        state.prob_maps = state.prob_maps.at[a].set(anno_prob)
 
-        fg = state.prob_maps
-        bg = np.clip(1.0 - fg.max(axis=1, keepdims=True), 0.0, 1.0)
-        all_p = np.concatenate([bg, fg], axis=1)
-        labels = np.where(fg.max(axis=1) > 0.5, fg.argmax(axis=1) + 1, 0).astype(
-            np.int32
-        )
-        return labels, all_p, state
+        from ivosw_tpu.models.vos.layers import labels_and_probs
+
+        labels_dev, all_p = labels_and_probs(state.prob_maps)
+        return np.asarray(labels_dev), all_p, state
 
 
 def init_matchnet_params(seed: int = 0, hw=(64, 64)):

@@ -222,7 +222,7 @@ class _TAPState:
     feats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # r4/r3/r2 [T,...]
     num_objects: int
     hw: Tuple[int, int]
-    prob_maps: np.ndarray  # [T, O, H, W] previous-round probabilities
+    prob_maps: jnp.ndarray  # [T, O, H, W] previous-round probs (ON DEVICE)
     mem_keys: jnp.ndarray  # [O, R_max * P, C]
     mem_valid: np.ndarray  # [O, R_max * P]
     frame_cache: np.ndarray  # [T, H, W, 3] raw frames (A-Net input)
@@ -318,7 +318,7 @@ class TAPNetAdapter:
             feats=feats,
             num_objects=num_objects,
             hw=(h, w),
-            prob_maps=np.zeros((t, num_objects, h, w), dtype=np.float32),
+            prob_maps=jnp.zeros((t, num_objects, h, w), dtype=jnp.float32),
             mem_keys=jnp.zeros((num_objects, MAX_ROUNDS_MEM * p, c), jnp.bfloat16),
             mem_valid=np.zeros((num_objects, MAX_ROUNDS_MEM * p), dtype=np.float32),
             frame_cache=np.asarray(frames, dtype=np.float32),
@@ -336,6 +336,9 @@ class TAPNetAdapter:
         )  # [O+1, H, W]
         out = np.zeros((o, h, w, 3), dtype=np.float32)
         any_scrib = scrib.sum(axis=0)
+        prev_frame_probs = (
+            None if state.round == 1 else np.asarray(state.prob_maps[frame])
+        )
         for obj in range(1, o + 1):
             pos = scrib[obj]
             neg = np.clip(any_scrib - pos, 0.0, 1.0)
@@ -343,7 +346,7 @@ class TAPNetAdapter:
                 prev = np.full((h, w), 0.5, dtype=np.float32)
                 neg = np.zeros_like(pos)
             else:
-                prev = state.prob_maps[frame, obj - 1]
+                prev = prev_frame_probs[obj - 1]
             out[obj - 1] = np.stack([prev, pos, neg], axis=-1)
         return out
 
@@ -378,39 +381,32 @@ class TAPNetAdapter:
         prev_annotated = np.array(state.annotated, dtype=np.int64)
         state.annotated.append(a)
 
-        # ---- propagation ----
+        # ---- propagation (all device-side; only labels leave the chip) ----
         order, reset, valid = prop_order(t, a)
         alpha = compute_alpha(t, prev_annotated, a)
+        order_dev = jnp.asarray(order)
         if len(order) > 0:
-            r4g = state.feats[0][order]
-            r3g = state.feats[1][order]
-            r2g = state.feats[2][order]
-            prev_probs = jnp.asarray(state.prob_maps[order])
             outs = _propagate_round_jit(
                 self.params,
-                r4g,
-                r3g,
-                r2g,
+                state.feats[0][order_dev],
+                state.feats[1][order_dev],
+                state.feats[2][order_dev],
                 state.mem_keys,
                 jnp.asarray(state.mem_valid),
                 anno_prob,
-                prev_probs,
+                state.prob_maps[order_dev],
                 jnp.asarray(alpha[order]),
                 jnp.asarray(reset),
                 jnp.asarray(valid),
                 (h, w),
             )
-            state.prob_maps[order] = np.asarray(outs, dtype=np.float32)
-        state.prob_maps[a] = np.asarray(anno_prob, dtype=np.float32)
+            state.prob_maps = state.prob_maps.at[order_dev].set(outs)
+        state.prob_maps = state.prob_maps.at[a].set(anno_prob)
 
-        # ---- labels + background channel ----
-        fg = state.prob_maps  # [T, O, H, W]
-        bg = np.clip(1.0 - fg.max(axis=1, keepdims=True), 0.0, 1.0)
-        all_p = np.concatenate([bg, fg], axis=1)
-        labels = np.where(
-            fg.max(axis=1) > 0.5, fg.argmax(axis=1) + 1, 0
-        ).astype(np.int32)
-        return labels, all_p, state
+        from ivosw_tpu.models.vos.layers import labels_and_probs
+
+        labels_dev, all_p = labels_and_probs(state.prob_maps)
+        return np.asarray(labels_dev), all_p, state
 
 
 def init_tapnet_params(seed: int = 0, hw=(64, 64)):
