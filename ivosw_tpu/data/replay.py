@@ -201,16 +201,31 @@ class ReplayMemory:
     def sample_batch(
         self, batch_size: int, rng: np.random.Generator
     ) -> Optional[Dict[str, np.ndarray]]:
-        """Uniform sample → stacked, device-ready arrays ([B] / [B, T])."""
+        """Uniform sample → stacked, device-ready arrays ([B] / [B, T]).
+
+        With mixed clip lengths in the pool (sequences shorter than
+        len_subseq), a length is first drawn proportionally to its share of
+        the pool and the batch sampled within that group — each transition
+        keeps its uniform marginal probability while batches stay stackable
+        (XLA static shapes)."""
         valid = [t for t in self.memory if t is not None]
         if len(valid) < batch_size:
             return None
+        lengths = np.array([len(t.state_iou) for t in valid])
+        uniq = np.unique(lengths)
+        if len(uniq) > 1:
+            eligible = [
+                l for l in uniq if np.count_nonzero(lengths == l) >= batch_size
+            ]
+            if not eligible:
+                return None
+            weights = np.array(
+                [np.count_nonzero(lengths == l) for l in eligible], dtype=np.float64
+            )
+            t_pick = rng.choice(eligible, p=weights / weights.sum())
+            valid = [t for t in valid if len(t.state_iou) == t_pick]
         idx = rng.choice(len(valid), size=batch_size, replace=False)
         picks = [valid[i] for i in idx]
-        t_len = len(picks[0].state_iou)
-        assert all(len(p.state_iou) == t_len for p in picks), (
-            "mixed clip lengths in one batch; bucket your sampling"
-        )
         return {
             "action": np.array([p.action for p in picks], dtype=np.int32),
             "reward_step": np.array(

@@ -129,6 +129,7 @@ class InteractiveSession:
         self._nb_objects = info.num_objects
         self._interaction = 0
 
+        self._sample_t_start = time.time()
         scrib = self._load_human_scribble(sequence, scribble_idx)
         if scrib is None:
             t = info.num_frames
@@ -183,6 +184,16 @@ class InteractiveSession:
                 "timestamp": time.time() - self._t_start,
             }
         )
+
+        # max_time semantics (davisinteractive): the per-sample interaction
+        # budget is max_time seconds per object; once exhausted, the sample
+        # ends early and the session moves on
+        if self.max_time is not None:
+            budget = self.max_time * max(self._nb_objects, 1)
+            if time.time() - self._sample_t_start > budget:
+                self._scribbles_ready = False
+                self._interaction = self.max_nb_interactions
+                return
 
         if self._interaction < self.max_nb_interactions:
             if next_scribble_frame_candidates:
