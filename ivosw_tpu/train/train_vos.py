@@ -86,13 +86,19 @@ def tapnet_window_loss(params, batch):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("optimizer",), donate_argnames=("params", "opt_state")
+    jax.jit,
+    static_argnames=("optimizer", "loss_fn"),
+    donate_argnames=("params", "opt_state"),
 )
-def tapnet_train_step(params, opt_state, batch, optimizer):
-    loss, grads = jax.value_and_grad(tapnet_window_loss)(params, batch)
+def vos_train_step(params, opt_state, batch, optimizer, loss_fn):
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
+
+
+def tapnet_train_step(params, opt_state, batch, optimizer):
+    return vos_train_step(params, opt_state, batch, optimizer, tapnet_window_loss)
 
 
 def sample_windows(
@@ -103,7 +109,9 @@ def sample_windows(
     robot,
     scribble_dilation: int = 3,
 ) -> Iterator[dict]:
-    """Infinite stream of training windows (host-side)."""
+    """Infinite stream of training windows (host-side). Yields everything
+    any backbone family consumes: round-1 interaction channels (tapnet),
+    per-object pos/neg scribble maps (ipnet), full scribble maps (matchnet)."""
     from ivosw_tpu.data.scribbles import scribble_masks_per_object
 
     while True:
@@ -127,9 +135,14 @@ def sample_windows(
         maps = scribble_masks_per_object(
             scrib, (h, w), 0, n_obj, dilation=scribble_dilation
         )
+        any_scrib = maps.sum(axis=0)
         interaction = np.zeros((n_obj, h, w, 3), dtype=np.float32)
+        pos = np.zeros((n_obj, h, w), dtype=np.float32)
+        neg = np.zeros((n_obj, h, w), dtype=np.float32)
         gt_onehot = np.zeros((n_obj, window, h, w), dtype=np.float32)
         for obj in range(1, n_obj + 1):
+            pos[obj - 1] = maps[obj]
+            neg[obj - 1] = np.clip(any_scrib - maps[obj], 0.0, 1.0)
             interaction[obj - 1] = np.stack(
                 [np.full((h, w), 0.5, np.float32), maps[obj], np.zeros((h, w), np.float32)],
                 axis=-1,
@@ -139,7 +152,124 @@ def sample_windows(
             "img": img.astype(np.float32),
             "gt": gt_onehot,
             "interaction": interaction,
+            "pos": pos,
+            "neg": neg,
+            "scrib_maps": maps.astype(np.float32),
         }
+
+
+def matchnet_window_loss(params, batch):
+    """batch: img [K,H,W,3], gt [O,K,H,W], scrib_maps [O+1,H,W]."""
+    import jax.image as jimage
+
+    from ivosw_tpu.models.vos.matchnet import MatchNet, _object_sim_maps
+
+    model = MatchNet()
+    img = batch["img"]
+    gt = batch["gt"]
+    o, k = gt.shape[0], img.shape[0]
+    hw = img.shape[1:3]
+
+    r4s, r3s, r2s = model.apply({"params": params}, img, method=MatchNet.encode)
+    h16, w16 = r4s.shape[1:3]
+
+    scrib = batch["scrib_maps"]
+    pos = jimage.resize(scrib[1:], (o, h16, w16), "bilinear")
+    neg_full = jnp.clip(scrib.sum(0, keepdims=True) - scrib[1:], 0, 1)
+    neg = jimage.resize(neg_full, (o, h16, w16), "bilinear")
+    prev = jnp.zeros((o, h16, w16, 1), jnp.bfloat16)
+    scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
+    r4o = jnp.broadcast_to(r4s[0][None], (o,) + r4s[0].shape)
+    r3o = jnp.broadcast_to(r3s[0][None], (o,) + r3s[0].shape)
+    r2o = jnp.broadcast_to(r2s[0][None], (o,) + r2s[0].shape)
+    anno_logit = model.apply(
+        {"params": params}, r4o, r3o, r2o, scrib_feat, prev, hw,
+        method=MatchNet.interact,
+    )
+    loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
+    anno_prob = jax.nn.sigmoid(anno_logit)
+    ref_probs16 = jimage.resize(anno_prob, (o, h16, w16), "bilinear")
+
+    def body(carry, inp):
+        prev_prob, prev_emb = carry
+        r4c, r3c, r2c, gt_t = inp
+        gmap = _object_sim_maps(r4c, r4s[0], ref_probs16)
+        prev16 = jimage.resize(prev_prob, (o, h16, w16), "bilinear")
+        lmap = _object_sim_maps(r4c, prev_emb, prev16)
+        match_feat = jnp.stack([gmap, lmap], axis=-1).astype(jnp.bfloat16)
+        prev_feat = prev16[..., None].astype(jnp.bfloat16)
+        r4b = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
+        r3b = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
+        r2b = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
+        logit = model.apply(
+            {"params": params}, r4b, r3b, r2b, match_feat, prev_feat, hw,
+            method=MatchNet.propagate,
+        )
+        step_loss = jnp.mean(bce_with_logits(logit, gt_t))
+        return (jax.nn.sigmoid(logit), r4c), step_loss
+
+    gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))
+    _, step_losses = jax.lax.scan(
+        body, (anno_prob, r4s[0]), (r4s[1:], r3s[1:], r2s[1:], gt_prop)
+    )
+    return loss + jnp.mean(step_losses)
+
+
+def ipnet_window_loss(params, batch):
+    """batch: img [K,H,W,3], gt [O,K,H,W], pos/neg [O,H,W]."""
+    from ivosw_tpu.models.vos.ipnet import IPNet, _ref_vector
+
+    model = IPNet()
+    img = batch["img"]
+    gt = batch["gt"]
+    o = gt.shape[0]
+    hw = img.shape[1:3]
+
+    img0 = jnp.broadcast_to(img[0][None], (o,) + img[0].shape)
+    prev0 = jnp.zeros((o,) + hw, jnp.float32)
+    anno_logit = model.apply(
+        {"params": params}, img0, batch["pos"], batch["neg"], prev0,
+        method=IPNet.interact,
+    )
+    loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
+    anno_prob = jax.nn.sigmoid(anno_logit)
+
+    r4s, r3s, r2s = model.apply({"params": params}, img, method=IPNet.encode)
+    ref_vec = _ref_vector(r4s[0], anno_prob)
+
+    def body(carry, inp):
+        r4c, r3c, r2c, gt_t = inp
+        r4b = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
+        r3b = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
+        r2b = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
+        logit = model.apply(
+            {"params": params}, r4b, r3b, r2b, ref_vec, carry, hw,
+            method=IPNet.propagate,
+        )
+        step_loss = jnp.mean(bce_with_logits(logit, gt_t))
+        return jax.nn.sigmoid(logit), step_loss
+
+    gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))
+    _, step_losses = jax.lax.scan(
+        body, anno_prob, (r4s[1:], r3s[1:], r2s[1:], gt_prop)
+    )
+    return loss + jnp.mean(step_losses)
+
+
+def _family(name: str):
+    if name in ("tapnet", "fake"):
+        from ivosw_tpu.models.vos.tapnet import init_tapnet_params
+
+        return init_tapnet_params, tapnet_window_loss, "tapnet"
+    if name == "matchnet":
+        from ivosw_tpu.models.vos.matchnet import init_matchnet_params
+
+        return init_matchnet_params, matchnet_window_loss, "matchnet"
+    if name == "ipnet":
+        from ivosw_tpu.models.vos.ipnet import init_ipnet_params
+
+        return init_ipnet_params, ipnet_window_loss, "ipnet"
+    raise NotImplementedError(name)
 
 
 def run(
@@ -152,9 +282,9 @@ def run(
     log=None,
     save_every: int = 500,
 ):
+    """Train the backbone family selected by ``cfg.vos``."""
     from ivosw_tpu.data.registry import registry_from_config
     from ivosw_tpu.interact.robot import ScribbleRobot
-    from ivosw_tpu.models.vos.tapnet import init_tapnet_params
     from ivosw_tpu.utils.checkpoint import save_pytree
 
     log = log or create_stream_logger("train_vos")
@@ -163,8 +293,9 @@ def run(
     sequences = registry.subset(cfg.data.subset)
     robot = ScribbleRobot(seed=cfg.seed)
 
+    init_fn, loss_fn, ckpt_name = _family(cfg.vos)
     if params is None:
-        params = init_tapnet_params(cfg.seed)
+        params = init_fn(cfg.seed)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
 
@@ -173,15 +304,15 @@ def run(
     for step in range(1, num_steps + 1):
         batch = next(stream)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        params, opt_state, loss = tapnet_train_step(
-            params, opt_state, device_batch, optimizer
+        params, opt_state, loss = vos_train_step(
+            params, opt_state, device_batch, optimizer, loss_fn
         )
         loss_meter.update(float(loss))
         if step % 50 == 0 or step == 1:
             log.info(f"step {step}/{num_steps} loss {float(loss):.4f} ({loss_meter.avg:.4f})")
         if step % save_every == 0 or step == num_steps:
             save_pytree(
-                os.path.join(cfg.ckpt_dir, "tapnet.orbax"), {"params": params}
+                os.path.join(cfg.ckpt_dir, f"{ckpt_name}.orbax"), {"params": params}
             )
     return {"loss_avg": loss_meter.avg, "params": params}
 

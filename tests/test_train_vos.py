@@ -50,6 +50,34 @@ def test_tapnet_training_learns(registry, tmp_path):
     assert (tmp_path / "weights" / "tapnet.orbax").exists()
 
 
+@pytest.mark.parametrize("family", ["matchnet", "ipnet"])
+def test_other_families_learn(registry, tmp_path, family):
+    import jax.numpy as jnp
+
+    from ivosw_tpu.interact.robot import ScribbleRobot
+    from ivosw_tpu.train.train_vos import _family, sample_windows
+    from ivosw_tpu.utils.misc import set_random_seed
+
+    init_fn, loss_fn, _ = _family(family)
+    rng = set_random_seed(0)
+    robot = ScribbleRobot(seed=0)
+    stream = sample_windows(registry, registry.subset("train"), rng, 3, robot)
+    eval_batch = {k: jnp.asarray(v) for k, v in next(stream).items()}
+
+    params0 = init_fn(0, hw=(48, 64))
+    loss_before = float(loss_fn(params0, eval_batch))
+
+    cfg = Config(seed=0, vos=family)
+    cfg.data.subset = "train"
+    cfg.ckpt_dir = str(tmp_path / f"w_{family}")
+    stats = train_vos.run(
+        cfg, registry=registry, num_steps=25, window=3, lr=3e-4,
+        params=params0, save_every=25,
+    )
+    loss_after = float(loss_fn(stats["params"], eval_batch))
+    assert loss_after < loss_before, (family, loss_before, loss_after)
+
+
 def test_trained_tapnet_improves_segmentation(registry, tmp_path):
     """J on round-1 segmentation: trained params must beat random init."""
     import jax.numpy as jnp
