@@ -81,6 +81,10 @@ class Config:
     dataset: str = "davis"  # davis | ytbvos
     ckpt_dir: str = "weights"
     vos: str = "tapnet"  # tapnet | matchnet | ipnet | fake (JAX-native backbones)
+    # evaluation round count; the reference hardcodes 8 in its eval drivers
+    # (eval_agent_atnet.py:61) while davis_interactive.max_nb_interactions
+    # governs training — kept separate here for the same reason
+    eval_rounds: int = 8
 
     data: DataConfig = field(default_factory=DataConfig)
     davis_interactive: DavisInteractiveConfig = field(

@@ -218,6 +218,7 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
         adapter,
         agent=agent,
         assess_variables=assess_variables,
+        max_nb_interactions=cfg.eval_rounds,
         vos_name=cfg.vos,
     )
 
