@@ -54,6 +54,17 @@ def _ref_style_bbox_host(mask_np: np.ndarray, scale=1.5) -> np.ndarray:
 
 def main():
     import jax
+
+    # persistent compilation cache: this image pre-imports jax, so env vars
+    # are too late — set via config so repeat bench runs skip the ~5 min
+    # ResNet-at-480p compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ivosw_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from ivosw_tpu.models.assess import (

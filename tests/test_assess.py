@@ -93,19 +93,78 @@ def test_assess_forward_shapes():
     assert np.isfinite(q).all()
 
 
+def _torch_resnet50_trunk(torch):
+    """Minimal torch ResNet-50 trunk with torchvision state_dict naming
+    (conv1/bn1/layer{1..4}.{i}.conv{j}/bn{j}/downsample.{0,1}) — test oracle
+    for the checkpoint importer; torchvision itself isn't installed here."""
+    nn = torch.nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, width, stride):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            idty = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idty)
+
+    class Trunk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            cfg = [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]
+            cin = 64
+            for li, (width, blocks, stride) in enumerate(cfg, start=1):
+                layers = []
+                for b in range(blocks):
+                    layers.append(Bottleneck(cin, width, stride if b == 0 else 1))
+                    cin = width * 4
+                setattr(self, f"layer{li}", nn.Sequential(*layers))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+    return Trunk()
+
+
 def test_assess_torch_encoder_parity():
-    """Random-weight torchvision resnet50 assembled the reference way
+    """Random-weight torch ResNet-50 assembled the reference way
     (conv1(f)+conv1_p(p) fused stem, global pool, fc) must match our flax
     encoder after weight conversion."""
     torch = pytest.importorskip("torch")
-    torchvision = pytest.importorskip("torchvision")
     import torch.nn.functional as F
 
     from ivosw_tpu.models.assess import AssessNet
     from ivosw_tpu.utils.torch_import import assess_variables_from_torch
 
     torch.manual_seed(0)
-    resnet = torchvision.models.resnet50(weights=None).eval()
+    resnet = _torch_resnet50_trunk(torch).eval()
+    # randomise BN stats so stat import is actually exercised
+    with torch.no_grad():
+        for m in resnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
     conv1_p = torch.nn.Conv2d(1, 64, 7, stride=2, padding=3, bias=False)
     fc1 = torch.nn.Linear(2048, 1)
 
@@ -125,7 +184,7 @@ def test_assess_torch_encoder_parity():
     sd = {}
     ren = {"layer1": "res2", "layer2": "res3", "layer3": "res4", "layer4": "res5"}
     for k, v in resnet.state_dict().items():
-        if k.startswith("fc."):
+        if k.startswith("fc.") or "num_batches_tracked" in k:
             continue
         for old, new in ren.items():
             if k.startswith(old):
