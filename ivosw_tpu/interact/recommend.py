@@ -19,7 +19,6 @@ from __future__ import annotations
 import copy
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax
 import numpy as np
 
 from ivosw_tpu.data.replay import Transition
