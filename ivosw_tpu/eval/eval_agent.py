@@ -226,6 +226,10 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
 def main(argv=None):
     import sys
 
+    from ivosw_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
+
     from ivosw_tpu.core.config import load_config
 
     argv = argv if argv is not None else sys.argv[1:]

@@ -133,14 +133,15 @@ def pad_to_multiple(x, mult: int, axes=(1, 2)):
 
 @jax.jit
 def labels_and_probs(prob_maps: jnp.ndarray):
-    """[T, O, H, W] foreground probs → (labels [T,H,W] int32,
+    """[T, O, H, W] foreground probs → (labels [T,H,W] uint8,
     all_P [T, O+1, H, W] with background channel 0). Stays on device; the
-    adapter transfers only the labels to host (metrics/robot need them),
-    while all_P feeds the fused QA pass without a host round-trip."""
+    adapter transfers only the labels to host (metrics/robot need them) —
+    uint8 because label transfer rides a slow host↔device tunnel and object
+    ids are ≤255 — while all_P feeds the fused QA pass with no round-trip."""
     fg_max = prob_maps.max(axis=1)
     labels = jnp.where(
         fg_max > 0.5, jnp.argmax(prob_maps, axis=1) + 1, 0
-    ).astype(jnp.int32)
+    ).astype(jnp.uint8)
     bg = jnp.clip(1.0 - fg_max, 0.0, 1.0)[:, None]
     all_p = jnp.concatenate([bg, prob_maps], axis=1)
     return labels, all_p

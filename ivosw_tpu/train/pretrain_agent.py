@@ -56,6 +56,10 @@ def run(cfg: Config, registry=None, adapter=None, reward_table=None,
 def main(argv=None):
     import sys
 
+    from ivosw_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
+
     argv = argv if argv is not None else sys.argv[1:]
     cfg = configure(load_config("configs/config.yaml", [a for a in argv if "=" in a]))
     # the reference pins 30 baseline episodes per key (utils/utils_agent.py:20)

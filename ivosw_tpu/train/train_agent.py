@@ -71,6 +71,10 @@ def run(cfg: Config, registry=None, adapter=None, reward_table=None,
 def main(argv=None):
     import sys
 
+    from ivosw_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
+
     argv = argv if argv is not None else sys.argv[1:]
     cfg = configure(load_config("configs/config.yaml", [a for a in argv if "=" in a]))
     return run(cfg, expected_count=30)

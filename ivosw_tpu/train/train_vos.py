@@ -320,6 +320,10 @@ def run(
 def main(argv=None):
     import sys
 
+    from ivosw_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
+
     argv = argv if argv is not None else sys.argv[1:]
     cfg = load_config("configs/config.yaml", [a for a in argv if "=" in a])
     return run(cfg)

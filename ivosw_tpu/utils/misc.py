@@ -28,6 +28,24 @@ def set_random_seed(seed: int) -> "np.random.Generator":
     return np.random.default_rng(seed)
 
 
+def enable_compile_cache(path: str = "/tmp/jax_cache_ivosw") -> None:
+    """Turn on jax's persistent compilation cache programmatically.
+
+    This image pre-imports jax at interpreter startup, so the usual
+    JAX_COMPILATION_CACHE_DIR env var is read too early to set from Python;
+    jax.config.update works at any time. Called by every CLI entry point —
+    480p ResNet-scale programs take minutes to compile on this host.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def rng_chain(seed: int):
     """Infinite deterministic stream of jax.random keys from one seed."""
     import jax
