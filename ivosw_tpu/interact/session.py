@@ -115,11 +115,13 @@ class InteractiveSession:
             or self._interaction >= self.max_nb_interactions
             or not self._scribbles_ready
         )
-        if need_new_sample:
+        while need_new_sample:
             self._sample_idx += 1
             if self._sample_idx >= len(self.samples):
                 return False
             self._start_sample()
+            # degenerate sample (no objects / nothing to scribble): skip it
+            need_new_sample = len(annotated_frames(self.sample_last_scribble)) == 0
         return True
 
     def _start_sample(self):

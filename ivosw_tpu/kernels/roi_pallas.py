@@ -51,12 +51,16 @@ def _kernel(box_ref, img_ref, out_ref, *, h, w, c, s):
     ry = jnp.maximum(0.0, 1.0 - jnp.abs(ycoords - hsrc))  # [S, H]
     rx = jnp.maximum(0.0, 1.0 - jnp.abs(xcoords - wsrc))  # [S, W]
 
-    # per-channel 2-D MXU dots (C is small and static; Mosaic prefers 2-D)
+    # per-channel 2-D MXU dots (C is small and static; Mosaic prefers 2-D);
+    # full f32 precision — the default would drop multiplicands to bf16
+    hi = jax.lax.Precision.HIGHEST
     rx_t = rx.T  # [W, S]
     for ch in range(c):
         img_c = img_ref[0, ch]  # [H, W]
-        tmp = jnp.dot(ry, img_c, preferred_element_type=jnp.float32)  # [S, W]
-        out_ref[0, ch] = jnp.dot(tmp, rx_t, preferred_element_type=jnp.float32)
+        tmp = jnp.dot(ry, img_c, precision=hi, preferred_element_type=jnp.float32)
+        out_ref[0, ch] = jnp.dot(
+            tmp, rx_t, precision=hi, preferred_element_type=jnp.float32
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "interpret"))

@@ -1,9 +1,17 @@
 """Pallas ROI kernel: interpreter-mode parity with the XLA einsum crop."""
 
 import numpy as np
+import pytest
 
 
 def test_roi_crop_pallas_interpret_parity():
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip(
+            "interpret-mode executes op-by-op; pathological over the TPU "
+            "tunnel — run via scripts/test_cpu.sh"
+        )
     import jax.numpy as jnp
 
     from ivosw_tpu.kernels.roi_pallas import roi_crop_pallas
