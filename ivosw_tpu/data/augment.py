@@ -17,7 +17,7 @@ the right split on TPU (device does convs, host does data bending).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

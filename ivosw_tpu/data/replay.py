@@ -19,7 +19,7 @@ Designed differences from the reference (documented, intentional):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np

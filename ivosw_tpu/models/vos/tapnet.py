@@ -26,7 +26,7 @@ TPU-native design (vs the reference's per-frame Python DataLoader loop):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

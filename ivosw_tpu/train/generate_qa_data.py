@@ -12,7 +12,6 @@ CLI: ``python -m ivosw_tpu.train.generate_qa_data [key=value ...]``
 
 from __future__ import annotations
 
-import copy
 import os
 from typing import List, Optional, Tuple
 

@@ -24,7 +24,6 @@ per epoch → session over the train subset → per episode:
 from __future__ import annotations
 
 import copy
-import time
 from typing import List, Optional
 
 import numpy as np

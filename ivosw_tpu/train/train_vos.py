@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

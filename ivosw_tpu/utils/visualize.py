@@ -8,8 +8,6 @@ visualisers) with a NumPy/PIL implementation.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 # standard DAVIS 2017 palette head (object ids 0..7)
