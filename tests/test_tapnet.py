@@ -64,7 +64,8 @@ def test_adapter_contract_shapes(setup):
 
     assert masks.shape == (5, 48, 64)
     assert all_p.shape == (5, 3, 48, 64)
-    assert masks.dtype == np.int32
+    # labels travel host-ward as uint8 (tunnel-bandwidth optimisation)
+    assert masks.dtype == np.uint8
     assert np.isfinite(all_p).all()
     assert 0.0 <= all_p.min() and all_p.max() <= 1.0
     assert len(state.annotated) == 1
