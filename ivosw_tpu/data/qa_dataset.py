@@ -94,10 +94,12 @@ class QARegressionDataset:
         from PIL import Image
 
         rec = self.samples_list[idx]
-        frames = self.registry.load_images(rec["sequence"])
-        anns = self.registry.load_annotations(rec["sequence"])
-        img = frames[rec["frame"]]
-        label = (anns[rec["frame"]] == rec["obj_id"]).astype(np.uint8)
+        # single-frame loads: samples are shuffled across sequences, so
+        # whole-clip decodes would amplify I/O ~T× (reference opens exactly
+        # one image/label/prob per sample, quality_assessment.py:176-196)
+        img = self.registry.load_image_frame(rec["sequence"], rec["frame"])
+        ann = self.registry.load_annotation_frame(rec["sequence"], rec["frame"])
+        label = (ann == rec["obj_id"]).astype(np.uint8)
         prob = (
             np.asarray(Image.open(rec["prob_path"]), dtype=np.float32) / 255.0
         )

@@ -50,6 +50,12 @@ class SequenceRegistry:
     _synthetic: Dict[str, Tuple[np.ndarray, np.ndarray]] = field(
         default_factory=dict, repr=False
     )
+    # tiny LRU caches: eval/session/training visit the same sequence several
+    # times in a row (scribble samples are consecutive); decoding a 480p
+    # clip repeatedly is pure waste
+    _ann_cache: Dict[str, np.ndarray] = field(default_factory=dict, repr=False)
+    _img_cache: Dict[str, np.ndarray] = field(default_factory=dict, repr=False)
+    cache_sequences: int = 2
 
     # ------------------------------------------------------------ queries --
     def subset(self, name: str) -> List[str]:
@@ -66,16 +72,34 @@ class SequenceRegistry:
         return self.sequences[name]
 
     # ------------------------------------------------------------ loaders --
+    def _lru(self, cache: Dict, name: str, loader):
+        if name in cache:
+            return cache[name]
+        val = loader()
+        while len(cache) >= max(self.cache_sequences, 1):
+            cache.pop(next(iter(cache)))
+        cache[name] = val
+        return val
+
+    def _files(self, kind: str, name: str) -> List[str]:
+        seq_dir = os.path.join(self.root, kind, "480p", name)
+        return [os.path.join(seq_dir, f) for f in sorted(os.listdir(seq_dir))]
+
     def load_annotations(self, name: str) -> np.ndarray:
         """Ground-truth label masks [T, H, W] uint8 (0 = background)."""
         if name in self._synthetic:
             return self._synthetic[name][1]
         from PIL import Image
 
-        seq_dir = os.path.join(self.root, "Annotations", "480p", name)
-        files = sorted(os.listdir(seq_dir))
-        return np.stack(
-            [np.array(Image.open(os.path.join(seq_dir, f)), dtype=np.uint8) for f in files]
+        return self._lru(
+            self._ann_cache,
+            name,
+            lambda: np.stack(
+                [
+                    np.array(Image.open(f), dtype=np.uint8)
+                    for f in self._files("Annotations", name)
+                ]
+            ),
         )
 
     def load_images(self, name: str) -> np.ndarray:
@@ -84,17 +108,45 @@ class SequenceRegistry:
             return self._synthetic[name][0]
         from PIL import Image
 
-        seq_dir = os.path.join(self.root, "JPEGImages", "480p", name)
-        files = sorted(os.listdir(seq_dir))
-        return np.stack(
-            [
-                np.asarray(
-                    Image.open(os.path.join(seq_dir, f)).convert("RGB"),
-                    dtype=np.float32,
-                )
-                / 255.0
-                for f in files
-            ]
+        return self._lru(
+            self._img_cache,
+            name,
+            lambda: np.stack(
+                [
+                    np.asarray(Image.open(f).convert("RGB"), dtype=np.float32)
+                    / 255.0
+                    for f in self._files("JPEGImages", name)
+                ]
+            ),
+        )
+
+    def load_image_frame(self, name: str, frame: int) -> np.ndarray:
+        """ONE frame [H, W, 3] float32 — avoids whole-clip decodes in
+        per-sample loaders (QA regression dataset)."""
+        if name in self._synthetic:
+            return self._synthetic[name][0][frame]
+        if name in self._img_cache:
+            return self._img_cache[name][frame]
+        from PIL import Image
+
+        return (
+            np.asarray(
+                Image.open(self._files("JPEGImages", name)[frame]).convert("RGB"),
+                dtype=np.float32,
+            )
+            / 255.0
+        )
+
+    def load_annotation_frame(self, name: str, frame: int) -> np.ndarray:
+        """ONE annotation [H, W] uint8."""
+        if name in self._synthetic:
+            return self._synthetic[name][1][frame]
+        if name in self._ann_cache:
+            return self._ann_cache[name][frame]
+        from PIL import Image
+
+        return np.array(
+            Image.open(self._files("Annotations", name)[frame]), dtype=np.uint8
         )
 
     # ------------------------------------------------------- constructors --

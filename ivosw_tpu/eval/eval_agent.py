@@ -110,6 +110,11 @@ def evaluate(
                     adapter, all_F, n_objects, sequence=sequence
                 )
             else:
+                if af and next_frame not in af:
+                    # the robot found nothing to correct on the recommended
+                    # frame and annotated its fallback instead — segment the
+                    # frame that actually carries the new scribbles
+                    next_frame = af[-1]
                 annotated_frames_list.append(next_frame)
                 n_interaction += 1
 
@@ -199,8 +204,12 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
 
         params = load_agent_params(cfg.ckpt_dir)
         if params is not None:
+            import jax
+            import jax.numpy as jnp
+
             agent.params = params
-            agent.target_params = params
+            # deep copy: update donation must not invalidate the target net
+            agent.target_params = jax.tree.map(jnp.copy, params)
     if cfg.setting == "wild" and cfg.method in ("ours", "worst"):
         from ivosw_tpu.utils.checkpoint import load_assess_variables_ckpt
 

@@ -106,13 +106,12 @@ def assess_forward(
     return model.apply(variables, tf_roi, tp_roi, train=False)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@jax.jit
 def score_clip(
     variables: Dict[str, Any],
     frames: jnp.ndarray,
     probs: jnp.ndarray,
     obj_valid: jnp.ndarray,
-    chunk: int = 0,
 ) -> jnp.ndarray:
     """Score every (frame, object) pair of a clip in one device pass.
 

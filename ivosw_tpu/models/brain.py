@@ -125,11 +125,6 @@ def brain_forward(
     return q
 
 
-@functools.partial(jax.jit, static_argnames=())
-def brain_q_values(params: Params, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    return brain_forward(params, x, mask)
-
-
 def pad_to_bucket(t: int, buckets=(32, 64, 128, 256)) -> int:
     """Static shape bucket for a clip of T frames (XLA recompile avoidance)."""
     for b in buckets:

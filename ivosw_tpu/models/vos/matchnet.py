@@ -158,25 +158,28 @@ def _propagate_round_fn(
     emb_r2_ord,
     ref_emb,  # [h16, w16, C] annotated frame embedding
     anno_prob,  # [O, H, W]
-    global_map_init,  # [O, h16, w16] running max across rounds
+    global_map_ord,  # [N, O, h16, w16] PER-FRAME running max across rounds
     prev_round_ord,  # [N, O, H, W]
     reset_ord,  # [N]
     valid_ord,  # [N]
     out_hw,
 ):
+    """MANet's eval_global_map is per FRAME, maxed across ROUNDS only
+    (utils/utils_manet.py global_map_tmp_dic) — each scan step reads and
+    updates its own frame's map; nothing leaks between frames."""
     model = MatchNet()
     o = anno_prob.shape[0]
     h16, w16 = ref_emb.shape[0:2]
     ref_probs16 = _downsample_to(anno_prob, h16, w16)
 
     def body(carry, inp):
-        prev_prob, prev_emb, global_map = carry
-        r4c, r3c, r2c, prev_round_t, reset_t, valid_t = inp
+        prev_prob, prev_emb = carry
+        r4c, r3c, r2c, gm_t, prev_round_t, reset_t, valid_t = inp
         prev_prob = jnp.where(reset_t > 0, anno_prob, prev_prob)
         prev_emb = jnp.where(reset_t > 0, ref_emb, prev_emb)
 
         g = _object_sim_maps(r4c, ref_emb, ref_probs16)  # [O, h16, w16]
-        global_new = jnp.maximum(global_map, g)
+        global_new = jnp.maximum(gm_t, g)
         prev16 = _downsample_to(prev_prob, h16, w16)
         l = _object_sim_maps(r4c, prev_emb, prev16)
 
@@ -191,24 +194,25 @@ def _propagate_round_fn(
         )
         prob = jax.nn.sigmoid(logit)
         out = jnp.where(valid_t > 0, prob, prev_round_t)
+        gm_out = jnp.where(valid_t > 0, global_new, gm_t)
         new_prev = jnp.where(valid_t > 0, prob, prev_prob)
         new_emb = jnp.where(valid_t > 0, r4c, prev_emb)
-        gm = jnp.where(valid_t > 0, global_new, global_map)
-        return (new_prev, new_emb, gm), out
+        return (new_prev, new_emb), (out, gm_out)
 
-    (final_prob, _, global_final), outs = jax.lax.scan(
+    _, (outs, gm_outs) = jax.lax.scan(
         body,
-        (anno_prob, ref_emb, global_map_init),
+        (anno_prob, ref_emb),
         (
             emb_r4_ord,
             emb_r3_ord,
             emb_r2_ord,
+            global_map_ord,
             prev_round_ord,
             reset_ord[:, None, None, None],
             valid_ord[:, None, None, None],
         ),
     )
-    return outs, global_final
+    return outs, gm_outs
 
 
 _propagate_round_jit = jax.jit(_propagate_round_fn, static_argnames=("out_hw",))
@@ -221,7 +225,7 @@ class _MatchState:
     num_objects: int
     hw: Tuple[int, int]
     prob_maps: jnp.ndarray  # [T, O, H, W] (ON DEVICE)
-    global_map: jnp.ndarray  # [O, h16, w16] running max over rounds
+    global_map: jnp.ndarray  # [T, O, h16, w16] per-frame max over rounds
     annotated: List[int] = field(default_factory=list)
     round: int = 0
 
@@ -275,7 +279,7 @@ class MatchNetAdapter:
             num_objects=num_objects,
             hw=(h, w),
             prob_maps=jnp.zeros((t, num_objects, h, w), dtype=jnp.float32),
-            global_map=jnp.full((num_objects, h16, w16), -1.0, jnp.float32),
+            global_map=jnp.full((t, num_objects, h16, w16), -1.0, jnp.float32),
         )
 
     def segment(
@@ -303,21 +307,21 @@ class MatchNetAdapter:
         order, reset, valid = prop_order(t, a)
         order_dev = jnp.asarray(order)
         if len(order) > 0:
-            outs, global_final = _propagate_round_jit(
+            outs, gm_outs = _propagate_round_jit(
                 self.params,
                 state.feats[0][order_dev],
                 state.feats[1][order_dev],
                 state.feats[2][order_dev],
                 state.feats[0][a],
                 anno_prob,
-                state.global_map,
+                state.global_map[order_dev],
                 state.prob_maps[order_dev],
                 jnp.asarray(reset),
                 jnp.asarray(valid),
                 (h, w),
             )
             state.prob_maps = state.prob_maps.at[order_dev].set(outs)
-            state.global_map = global_final
+            state.global_map = state.global_map.at[order_dev].set(gm_outs)
         state.prob_maps = state.prob_maps.at[a].set(anno_prob)
 
         from ivosw_tpu.models.vos.layers import labels_and_probs

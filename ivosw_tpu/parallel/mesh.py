@@ -62,11 +62,6 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def _is_conv_kernel(path_leaf_shape) -> bool:
-    name, ndim = path_leaf_shape
-    return name == "kernel" and ndim == 4
-
-
 def assess_param_shardings(mesh: Mesh, variables, model_axis: str = "model"):
     """Tensor-parallel sharding rule for AssessNet variables.
 

@@ -90,10 +90,18 @@ def run_interactive_phase(
                     seen_seq[sequence] = seen_seq.get(sequence, 0) + 1
                     info = registry.info(sequence)
                     gt_original = registry.load_annotations(sequence)
+                    # real backbones segment from frames; only gt-capable
+                    # fakes (begin_sequence(..., gt=...)) can skip the load
+                    import inspect
+
+                    adapter_takes_gt = "gt" in inspect.signature(
+                        adapter.begin_sequence
+                    ).parameters
+                    needs_frames = (not adapter_takes_gt) or (
+                        cfg.setting == "wild" and cfg.method in ("ours", "worst")
+                    )
                     frames_original = (
-                        registry.load_images(sequence)
-                        if cfg.setting == "wild" and cfg.method in ("ours", "worst")
-                        else None
+                        registry.load_images(sequence) if needs_frames else None
                     )
                     n_objects = info.num_objects
                     first_global = af[0]
@@ -121,6 +129,9 @@ def run_interactive_phase(
                     repeat_selection = None
                     new_masks_metric = None
                 else:
+                    if af and subseq[next_frame] not in af and af[-1] in subseq:
+                        # robot annotated a fallback frame; follow it
+                        next_frame = subseq.index(af[-1])
                     counts = np.zeros(len(new_masks_metric))
                     for i in annotated_frames_list:
                         counts[i] += 1

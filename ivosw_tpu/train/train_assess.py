@@ -96,8 +96,18 @@ def assess_train_step(
     (loss, (new_stats, diff)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         variables["params"]
     )
-    updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
-    updates = jax.tree.map(lambda u: -lr * u, updates)
+    new_updates, new_opt_state = optimizer.update(
+        grads, opt_state, variables["params"]
+    )
+    # all-invalid batch: gradients are zero but the weight-decay term would
+    # still mutate params and the momentum trace — gate both so excluded
+    # batches truly leave the optimisation state untouched (the reference
+    # skips such batches entirely, quality_assessment.py:263)
+    gate = (valid.sum() > 0).astype(jnp.float32)
+    updates = jax.tree.map(lambda u: -lr * gate * u, new_updates)
+    opt_state = jax.tree.map(
+        lambda new, old: gate * new + (1.0 - gate) * old, new_opt_state, opt_state
+    )
     params = optax.apply_updates(variables["params"], updates)
     return (
         {"params": params, "batch_stats": new_stats},

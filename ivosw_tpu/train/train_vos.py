@@ -97,10 +97,6 @@ def vos_train_step(params, opt_state, batch, optimizer, loss_fn):
     return params, opt_state, loss
 
 
-def tapnet_train_step(params, opt_state, batch, optimizer):
-    return vos_train_step(params, opt_state, batch, optimizer, tapnet_window_loss)
-
-
 def sample_windows(
     registry,
     sequences,
@@ -114,12 +110,19 @@ def sample_windows(
     per-object pos/neg scribble maps (ipnet), full scribble maps (matchnet)."""
     from ivosw_tpu.data.scribbles import scribble_masks_per_object
 
+    fruitless = 0
     while True:
+        if fruitless > 100 * max(len(sequences), 1):
+            raise ValueError(
+                f"no training window drawn after {fruitless} attempts — "
+                f"are all clips shorter than window={window} or object-free?"
+            )
         seq = sequences[int(rng.integers(len(sequences)))]
         frames = registry.load_images(seq)
         gt = registry.load_annotations(seq)
         t = frames.shape[0]
         if t < window:
+            fruitless += 1
             continue
         start = int(rng.integers(0, t - window + 1))
         img = frames[start : start + window]
@@ -129,6 +132,7 @@ def sample_windows(
             g = g[::-1].copy()
         n_obj = int(g.max())
         if n_obj == 0:
+            fruitless += 1
             continue
         scrib = robot.interact(seq, np.zeros_like(g), g, n_obj, frame=0)
         h, w = g.shape[1:]

@@ -62,18 +62,31 @@ def load_agent_params(ckpt_dir: str):
 
 
 def restore_agent(agent, ckpt_dir: str) -> bool:
-    """Full restore (params + opt state + step counter) when available."""
+    """Full restore (params + opt state + step counter) when available.
+
+    target_params is a deep COPY of params: dqn_update_step donates the
+    params buffers, so aliasing the two trees would leave target_params
+    pointing at donated (deleted) arrays after the first update."""
+    import jax
+    import jax.numpy as jnp
+
     tree = load_pytree(os.path.join(ckpt_dir, "agent.orbax"))
     if tree is None:
         params = load_agent_params(ckpt_dir)
         if params is None:
             return False
         agent.params = params
-        agent.target_params = params
+        agent.target_params = jax.tree.map(jnp.copy, params)
         return True
     agent.params = tree["params"]
-    agent.target_params = tree["params"]
-    agent.opt_state = tree["opt_state"]
+    agent.target_params = jax.tree.map(jnp.copy, tree["params"])
+    # Orbax round-trips optax NamedTuple states as plain dicts; rebuild the
+    # typed structure from a freshly-initialised template (leaf order is
+    # stable: tuples by index, dict keys sorted = NamedTuple field order
+    # for adam's count/mu/nu)
+    template = agent.optimizer.init(agent.params)
+    leaves = jax.tree.leaves(tree["opt_state"])
+    agent.opt_state = jax.tree.unflatten(jax.tree.structure(template), leaves)
     agent.steps_done = int(tree["steps_done"])
     return True
 
