@@ -56,14 +56,10 @@ def main():
     import jax
 
     # persistent compilation cache: this image pre-imports jax, so env vars
-    # are too late — set via config so repeat bench runs skip the ~5 min
-    # ResNet-at-480p compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ivosw_bench")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    # are too late — repeat bench runs then skip the ~5 min 480p compiles
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
 
     import jax.numpy as jnp
 

@@ -31,13 +31,22 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "metrics.cpp")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
+        # make's dependency tracking handles the rebuild; calling it only
+        # when the .so is missing would silently serve stale binaries after
+        # a metrics.cpp edit
         try:
             subprocess.run(
                 ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -49,8 +49,18 @@ except Exception:
 
 @pytest.fixture
 def eight_devices():
+    """8 devices for mesh tests. The default backend may be the single TPU
+    chip, but the in-process XLA_FLAGS above DOES reach the lazily-
+    initialised CPU backend — so multi-device tests run under plain pytest
+    too, on CPU virtual devices."""
     import jax
 
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 devices (run via scripts/test_cpu.sh)")
-    return jax.devices()[:8]
+    if len(jax.devices()) >= 8:
+        return jax.devices()[:8]
+    try:
+        cpu = jax.devices("cpu")
+    except RuntimeError:
+        cpu = []
+    if len(cpu) >= 8:
+        return cpu[:8]
+    pytest.skip("needs 8 devices (run via scripts/test_cpu.sh)")
