@@ -18,6 +18,8 @@ from typing import Any, Dict, List, Optional
 @dataclass
 class DataConfig:
     # reference: configs/config.yaml:11-16
+    # num_workers: surface-parity only, INERT — host DataLoader prefetch in
+    # the reference (train_agent.py:181); this framework has no DataLoader
     num_workers: int = 2
     root_dir_davis: str = "data/DAVIS"
     root_dir_scribble_youtube_vos: str = "data/Scribble_Youtube_VOS"
@@ -31,8 +33,18 @@ class DavisInteractiveConfig:
     metric: str = "J_AND_F"  # J | F | J_AND_F
     allow_repeat: int = 1
     max_nb_interactions: int = 5
+    # per-object wall-clock budget in seconds for one sample; 0 = unlimited.
+    # The reference declares this knob but never reads it (its drivers pass
+    # max_time=None, eval_agent_atnet.py:62); here it IS wired to the
+    # session's per-sample budget (max_time_per_interaction * n_objects)
     max_time_per_interaction: int = 0
+    # combine_th: surface-parity only, INERT — present in the reference YAML
+    # (configs/config.yaml:22) but never read by any reference code path
     combine_th: float = 0.4
+    # scribble-robot tuning; the reference sets min_nb_nodes on the
+    # davisinteractive robot from backbone config (eval_agent_atnet.py:193)
+    robot_min_nb_nodes: int = 4
+    robot_nb_points: int = 25
 
 
 @dataclass
@@ -44,6 +56,7 @@ class AssessNetConfig:
     momentum: float = 0.9
     weight_decay: float = 5e-4
     train_batch_size: int = 32
+    # num_workers: surface-parity only, INERT (see DataConfig.num_workers)
     num_workers: int = 12
 
 
@@ -56,6 +69,8 @@ class AgentConfig:
     sample_th: float = 0.05
     optimizer: str = "adam"
     lr: float = 5e-6
+    # lr_pow: surface-parity only, INERT — in the reference YAML
+    # (configs/config.yaml:38) but never read by any reference code path
     lr_pow: float = 0.9
     momentum: float = 0.9
     weight_decay: float = 5e-4
@@ -63,6 +78,8 @@ class AgentConfig:
     gamma: float = 0.95
     eps_start: float = 0.7
     eps_end: float = 0.25
+    # eps_k: surface-parity only, INERT — in the reference YAML
+    # (configs/config.yaml:45) but never read by any reference code path
     eps_k: int = 5
     eps_decay: int = 500
     update_rate: float = 0.05

@@ -25,7 +25,7 @@ import numpy as np
 from ivosw_tpu.core.config import Config
 from ivosw_tpu.data.scribbles import annotated_frames
 from ivosw_tpu.interact.recommend import recommend_frame
-from ivosw_tpu.interact.robot import ScribbleRobot
+from ivosw_tpu.interact.robot import ScribbleRobot, robot_from_config
 from ivosw_tpu.interact.session import InteractiveSession
 from ivosw_tpu.ops.metrics import auc_from_curve, sequence_metric
 from ivosw_tpu.utils.misc import AverageMeter, create_stream_logger, set_random_seed
@@ -66,13 +66,15 @@ def evaluate(
     corr_meter = AverageMeter()
     seen_seq: dict = {}
 
+    max_time = cfg.davis_interactive.max_time_per_interaction or None
     with InteractiveSession(
         registry,
         subset=subset,
         metric_to_optimize=metric_to_optimize,
         max_nb_interactions=max_nb_interactions,
+        max_time=max_time,
         report_save_dir=report_save_dir,
-        robot=robot,
+        robot=robot or robot_from_config(cfg, seed=cfg.seed),
         seed=cfg.seed,
     ) as sess:
         while sess.next():

@@ -96,6 +96,17 @@ def _backtrack(dist: np.ndarray, start_yx) -> np.ndarray:
     return np.asarray(path, dtype=np.float64)
 
 
+def robot_from_config(cfg, seed: int = 0) -> "ScribbleRobot":
+    """Robot tuned by config knobs (reference tunes the davisinteractive
+    robot's min_nb_nodes per driver, eval_agent_atnet.py:193)."""
+    di = cfg.davis_interactive
+    return ScribbleRobot(
+        min_nb_nodes=di.robot_min_nb_nodes,
+        nb_points=di.robot_nb_points,
+        seed=seed,
+    )
+
+
 class ScribbleRobot:
     """Deterministic scribble synthesiser over prediction errors."""
 

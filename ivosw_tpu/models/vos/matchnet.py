@@ -304,7 +304,8 @@ class MatchNetAdapter:
         )
         state.annotated.append(a)
 
-        order, reset, valid = prop_order(t, a)
+        # MANet parity: forward then backward (reference utils/utils_manet.py:87-154)
+        order, reset, valid = prop_order(t, a, direction="fwd_bwd")
         order_dev = jnp.asarray(order)
         if len(order) > 0:
             outs, gm_outs = _propagate_round_jit(

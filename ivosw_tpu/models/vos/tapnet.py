@@ -255,14 +255,29 @@ def compute_alpha(t: int, annotated_prev: np.ndarray, annotated_now: int) -> np.
     return np.clip(alpha, 0.0, 1.0)
 
 
-def prop_order(t: int, a: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Backward-then-forward frame permutation (static length t-1 + pad)."""
+def prop_order(
+    t: int, a: int, direction: str = "bwd_fwd"
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Frame permutation for one propagation round (static length t-1).
+
+    ``reset`` marks the element where the scan carry must restart from the
+    annotated frame (the seam between the two passes). Directions match the
+    respective reference backbones: ATNet propagates backward then forward
+    (reference utils/utils_atnet.py:121-124), MANet forward then backward
+    (reference utils/utils_manet.py:87-117,123-154).
+    """
     back = list(range(a - 1, -1, -1))
     fwd = list(range(a + 1, t))
-    order = np.array(back + fwd, dtype=np.int32)
+    if direction == "bwd_fwd":
+        first, second = back, fwd
+    elif direction == "fwd_bwd":
+        first, second = fwd, back
+    else:
+        raise NotImplementedError(f"unknown propagation direction: {direction}")
+    order = np.array(first + second, dtype=np.int32)
     reset = np.zeros(len(order), dtype=np.float32)
-    if len(fwd) > 0:
-        reset[len(back)] = 1.0
+    if len(second) > 0:
+        reset[len(first)] = 1.0
     valid = np.ones(len(order), dtype=np.float32)
     return order, reset, valid
 

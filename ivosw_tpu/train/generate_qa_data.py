@@ -61,11 +61,14 @@ def run(
 
     seen_seq: dict = {}
     n_dumped = 0
+    from ivosw_tpu.interact.robot import robot_from_config
+
     with InteractiveSession(
         registry,
         subset=subset,
         metric_to_optimize=metric_to_optimize,
         max_nb_interactions=max_rounds,
+        robot=robot_from_config(cfg, seed=cfg.seed),
         seed=cfg.seed,
     ) as sess:
         if samples is not None:

@@ -36,7 +36,7 @@ from ivosw_tpu.interact.recommend import (
     gen_subseq,
     recommend_frame,
 )
-from ivosw_tpu.interact.robot import ScribbleRobot
+from ivosw_tpu.interact.robot import ScribbleRobot, robot_from_config
 from ivosw_tpu.interact.session import InteractiveSession
 from ivosw_tpu.models.vos.protocol import begin_sequence_compat
 from ivosw_tpu.ops.metrics import sequence_metric
@@ -74,7 +74,8 @@ def run_interactive_phase(
             subset=subset,
             metric_to_optimize=metric_to_optimize,
             max_nb_interactions=max_rounds,
-            robot=robot,
+            max_time=cfg.davis_interactive.max_time_per_interaction or None,
+            robot=robot or robot_from_config(cfg, seed=cfg.seed + epoch),
             seed=cfg.seed + epoch,
         ) as sess:
             if seq_list is not None:

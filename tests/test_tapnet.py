@@ -28,6 +28,20 @@ def test_prop_order_backward_then_forward():
     np.testing.assert_array_equal(resetl, [0, 0, 0])
 
 
+def test_prop_order_forward_then_backward():
+    # MANet parity direction (reference utils/utils_manet.py:87-154)
+    order, reset, valid = prop_order(6, 2, direction="fwd_bwd")
+    np.testing.assert_array_equal(order, [3, 4, 5, 1, 0])
+    np.testing.assert_array_equal(reset, [0, 0, 0, 1, 0])
+    assert valid.all()
+    order0, reset0, _ = prop_order(4, 0, direction="fwd_bwd")
+    np.testing.assert_array_equal(order0, [1, 2, 3])
+    np.testing.assert_array_equal(reset0, [0, 0, 0])
+    orderl, resetl, _ = prop_order(4, 3, direction="fwd_bwd")
+    np.testing.assert_array_equal(orderl, [2, 1, 0])
+    np.testing.assert_array_equal(resetl, [1, 0, 0])
+
+
 def test_compute_alpha_reference_semantics():
     # no other annotated frames: alpha = 1 everywhere
     a = compute_alpha(6, np.array([], dtype=np.int64), 3)
