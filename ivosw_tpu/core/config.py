@@ -58,6 +58,10 @@ class AssessNetConfig:
     train_batch_size: int = 32
     # num_workers: surface-parity only, INERT (see DataConfig.num_workers)
     num_workers: int = 12
+    # optional path to a torchvision-format resnet50 state_dict; when set,
+    # train_assess starts from the ImageNet trunk like the reference's
+    # resnet50(pretrained=True) encoder (models/assessment.py:28-39)
+    imagenet_ckpt: str = ""
 
 
 @dataclass

@@ -76,6 +76,16 @@ def init_assess_variables(key, dtype=jnp.bfloat16) -> Dict[str, Any]:
     return model.init(key, dummy_f, dummy_p, train=False)
 
 
+def init_from_imagenet(path: str, seed: int = 0) -> Dict[str, Any] | None:
+    """AssessNet variables with the ResNet-50 trunk loaded from a
+    torchvision-format resnet50 state_dict file — the training-from-scratch
+    analogue of the reference's ImageNet-pretrained encoder
+    (reference models/assessment.py:28-39). None if missing/unreadable."""
+    from ivosw_tpu.utils.torch_import import init_assess_from_imagenet
+
+    return init_assess_from_imagenet(path, seed=seed)
+
+
 def assess_forward(
     variables: Dict[str, Any],
     tf: jnp.ndarray,

@@ -138,7 +138,18 @@ def run(
     num_epochs = num_epochs or a.num_epochs
 
     if variables is None:
-        variables = init_assess_variables(jax.random.PRNGKey(cfg.seed))
+        if a.imagenet_ckpt:
+            from ivosw_tpu.utils.torch_import import init_assess_from_imagenet
+
+            variables = init_assess_from_imagenet(a.imagenet_ckpt, seed=cfg.seed)
+            if variables is None:
+                raise FileNotFoundError(
+                    f"assess_net.imagenet_ckpt={a.imagenet_ckpt!r} is not a "
+                    "readable torchvision resnet50 state_dict"
+                )
+            log.info(f"AssessNet trunk initialised from {a.imagenet_ckpt}")
+        else:
+            variables = init_assess_variables(jax.random.PRNGKey(cfg.seed))
     optimizer = make_assess_optimizer(a.momentum, a.weight_decay)
     opt_state = optimizer.init(variables["params"])
 

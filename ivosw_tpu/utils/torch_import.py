@@ -93,11 +93,27 @@ def assess_variables_from_torch(state_dict: Dict, encoder_prefix: str = "Encoder
         "trunk": {},
     }
 
+    trunk_p, trunk_s = _trunk_from_sd(sd, lambda stage, i: f"{e}res{stage}.{i}.")
+    params["trunk"] = trunk_p
+    stats["trunk"] = trunk_s
+    return {"params": params, "batch_stats": stats}
+
+
+def _trunk_from_sd(sd: Dict, prefix_for_block) -> tuple:
+    """ResNet-50 bottleneck trunk (res2..res5) from a torch state_dict.
+
+    ``prefix_for_block(stage, i)`` returns the key prefix of block i of the
+    stage — reference AssessNet layout uses ``Encoder.res{stage}.{i}.``,
+    torchvision resnet50 uses ``layer{stage-1}.{i}.``.
+    """
+    import jax.numpy as jnp
+
+    trunk_p, trunk_s = {}, {}
     blocks_per_stage = {2: 3, 3: 4, 4: 6, 5: 3}
     for stage, n_blocks in blocks_per_stage.items():
         stage_p, stage_s = {}, {}
         for i in range(n_blocks):
-            tp = f"{e}res{stage}.{i}."
+            tp = prefix_for_block(stage, i)
             block_p, block_s = {}, {}
             for j in (1, 2, 3):
                 block_p[f"conv{j}"] = {
@@ -127,10 +143,70 @@ def assess_variables_from_torch(state_dict: Dict, encoder_prefix: str = "Encoder
                 }
             stage_p[f"block{i}"] = block_p
             stage_s[f"block{i}"] = block_s
-        params["trunk"][f"res{stage}"] = stage_p
-        stats["trunk"][f"res{stage}"] = stage_s
+        trunk_p[f"res{stage}"] = stage_p
+        trunk_s[f"res{stage}"] = stage_s
+    return trunk_p, trunk_s
 
+
+def assess_variables_from_torchvision_resnet50(state_dict: Dict, seed: int = 0):
+    """AssessNet variables with an ImageNet-pretrained ResNet-50 trunk.
+
+    Reproduces the reference's pretrained-encoder construction
+    (``models/assessment.py:28-39``: ``resnet50(pretrained=True)`` supplies
+    conv1/bn1/layer1..layer4) from a torchvision-format ``resnet50``
+    state_dict, without needing torchvision itself:
+
+    - conv1 / bn1 / layer1..4 (→ res2..5): copied from the state_dict;
+    - conv1_p: zeros, so the fused stem initially equals the pretrained RGB
+      stem (the reference He-initialises it instead — documented divergence);
+    - fc1: fresh random init (the reference also creates a new head).
+
+    The torchvision ``fc.weight/bias`` (1000-class head) is ignored.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ivosw_tpu.models.assess import init_assess_variables
+
+    sd = _strip_module(state_dict)
+    variables = init_assess_variables(jax.random.PRNGKey(seed))
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+
+    params["conv1"] = {"kernel": jnp.asarray(_conv_kernel(sd["conv1.weight"]))}
+    params["conv1_p"] = {
+        "kernel": jnp.zeros_like(variables["params"]["conv1_p"]["kernel"])
+    }
+    params["bn1"] = {
+        "scale": jnp.asarray(_np(sd["bn1.weight"])),
+        "bias": jnp.asarray(_np(sd["bn1.bias"])),
+    }
+    stats["bn1"] = {
+        "mean": jnp.asarray(_np(sd["bn1.running_mean"])),
+        "var": jnp.asarray(_np(sd["bn1.running_var"])),
+    }
+    trunk_p, trunk_s = _trunk_from_sd(sd, lambda stage, i: f"layer{stage - 1}.{i}.")
+    params["trunk"] = trunk_p
+    stats["trunk"] = trunk_s
     return {"params": params, "batch_stats": stats}
+
+
+def init_assess_from_imagenet(path: str, seed: int = 0):
+    """Initialise AssessNet from a torchvision-format resnet50 state_dict
+    file (the from-scratch QA-training analogue of the reference's
+    ``resnet50(pretrained=True)``). Returns None if the file is missing or
+    unreadable so callers can fall back to random init."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return assess_variables_from_torchvision_resnet50(sd, seed=seed)
+    except Exception:
+        return None
 
 
 def load_assess_checkpoint_pt(path: str):

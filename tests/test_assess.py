@@ -242,3 +242,67 @@ def test_score_clip_fused_vs_loop():
 
     mq = np.asarray(mean_object_quality(fused, obj_valid))
     np.testing.assert_allclose(mq, fused.mean(axis=1), atol=1e-6)
+
+
+def test_init_from_imagenet_trunk_equivalence(tmp_path):
+    """init_from_imagenet(path) on a torchvision-named resnet50 state_dict
+    must produce the same trunk/conv1/bn1 (params AND batch stats) as the
+    proven reference-layout importer, a zero conv1_p (stem == pretrained RGB
+    stem at init), and a fresh fc1."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from ivosw_tpu.models.assess import init_from_imagenet
+    from ivosw_tpu.utils.torch_import import assess_variables_from_torch
+
+    torch.manual_seed(1)
+    resnet = _torch_resnet50_trunk(torch).eval()
+    with torch.no_grad():
+        for m in resnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    tv_sd = {k: v for k, v in resnet.state_dict().items()}
+    # torchvision resnet50 also carries a 1000-class head: must be ignored
+    tv_sd["fc.weight"] = torch.zeros(1000, 2048)
+    tv_sd["fc.bias"] = torch.zeros(1000)
+    path = tmp_path / "resnet50_imagenet.pt"
+    torch.save(tv_sd, str(path))
+
+    new_vars = init_from_imagenet(str(path), seed=0)
+    assert new_vars is not None
+
+    # reference-layout oracle through the round-1-proven importer
+    sd = {}
+    ren = {"layer1": "res2", "layer2": "res3", "layer3": "res4", "layer4": "res5"}
+    for k, v in resnet.state_dict().items():
+        if k.startswith("fc.") or "num_batches_tracked" in k:
+            continue
+        for old, new in ren.items():
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        sd["Encoder." + k] = v
+    sd["Encoder.conv1_p.weight"] = torch.zeros(64, 1, 7, 7)
+    sd["fc1.weight"] = torch.zeros(1, 2048)
+    sd["fc1.bias"] = torch.zeros(1)
+    ref_vars = assess_variables_from_torch(sd)
+
+    for group in ("params", "batch_stats"):
+        for key in ("conv1", "bn1", "trunk"):
+            if key not in ref_vars[group]:
+                continue
+            ref_leaves, _ = jax.tree.flatten(ref_vars[group][key])
+            new_leaves, _ = jax.tree.flatten(new_vars[group][key])
+            assert len(ref_leaves) == len(new_leaves)
+            for r, n in zip(ref_leaves, new_leaves):
+                np.testing.assert_allclose(np.asarray(r), np.asarray(n))
+
+    assert not np.asarray(new_vars["params"]["conv1_p"]["kernel"]).any()
+    # fresh head: non-zero random init, not the torchvision classifier
+    fc1 = np.asarray(new_vars["params"]["fc1"]["kernel"])
+    assert fc1.shape == (2048, 1) and np.abs(fc1).sum() > 0
+
+    # missing file falls back to None
+    assert init_from_imagenet(str(tmp_path / "nope.pt")) is None
