@@ -44,30 +44,63 @@ def bce_with_logits(logit, target, eps: float = 1e-7):
     return -(target * p + (1.0 - target) * q)
 
 
+def bce_probs(prob, target, eps: float = 1e-6):
+    """BCE on probabilities (needed after alpha-blending, which operates on
+    probabilities at inference — tapnet.py::_propagate_round)."""
+    prob = jnp.clip(prob, eps, 1.0 - eps)
+    return -(target * jnp.log(prob) + (1.0 - target) * jnp.log1p(-prob))
+
+
 def tapnet_window_loss(params, batch):
-    """batch: img [K,H,W,3], gt [O,K,H,W] float binary, interaction [O,H,W,3]."""
+    """One (possibly multi-round) training episode as one program.
+
+    batch: img [K,H,W,3], gt [O,K,H,W] float binary, interaction /
+    interaction2 [O,H,W,3] (A-Net channels for frames 0 and K-1),
+    prev_round [O,K,H,W] previous-round probability maps (0.5-filled on
+    round-1 samples where they are unused), alpha [K] blend ramp,
+    mem2_valid [] — 1.0 on round-2 samples where frame K-1 is a second
+    annotated-memory entry (reference round-≥2 recipe
+    utils/utils_atnet.py:40-52,126-147).
+    """
     model = TAPNet()
     img = batch["img"]
     gt = batch["gt"]
-    interaction = batch["interaction"]
     o = gt.shape[0]
-    k = img.shape[0]
     hw = img.shape[1:3]
+    mem2_valid = batch["mem2_valid"]
+    alpha = batch["alpha"]
+    prev_round = batch["prev_round"]
 
     img0 = jnp.broadcast_to(img[0][None], (o,) + img[0].shape)
     anno_logit, anno_r4 = model.apply(
-        {"params": params}, img0, interaction, method=TAPNet.interact
+        {"params": params}, img0, batch["interaction"], method=TAPNet.interact
     )
     loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
     anno_prob = jax.nn.sigmoid(anno_logit)
 
+    # second annotated frame (K-1) — active on round-2 samples only; its
+    # A-Net output is supervised and its features join the memory ring
+    imgl = jnp.broadcast_to(img[-1][None], (o,) + img[-1].shape)
+    anno2_logit, anno2_r4 = model.apply(
+        {"params": params}, imgl, batch["interaction2"], method=TAPNet.interact
+    )
+    loss = loss + mem2_valid * jnp.mean(bce_with_logits(anno2_logit, gt[:, -1]))
+
     r4s, r3s, r2s = model.apply({"params": params}, img, method=TAPNet.encode_frames)
     p = anno_r4.shape[1] * anno_r4.shape[2]
-    mem_keys = anno_r4.reshape(o, p, -1)
-    mem_valid = jnp.ones((o, p), jnp.float32)
+    mem_keys = jnp.concatenate(
+        [anno_r4.reshape(o, p, -1), anno2_r4.reshape(o, p, -1)], axis=1
+    )
+    mem_valid = jnp.concatenate(
+        [
+            jnp.ones((o, p), jnp.float32),
+            jnp.broadcast_to(mem2_valid, (o, p)).astype(jnp.float32),
+        ],
+        axis=1,
+    )
 
     def body(carry, inp):
-        r4c, r3c, r2c, gt_t = inp
+        r4c, r3c, r2c, gt_t, prev_t, alpha_t = inp
         r4b = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
         r3b = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
         r2b = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
@@ -75,12 +108,17 @@ def tapnet_window_loss(params, batch):
             {"params": params}, r4b, r3b, r2b, mem_keys, mem_valid, carry, hw,
             method=TAPNet.transfer,
         )
-        step_loss = jnp.mean(bce_with_logits(logit, gt_t))
-        return jax.nn.sigmoid(logit), step_loss
+        # train under the same alpha-blend the inference scan applies
+        blended = alpha_t * jax.nn.sigmoid(logit) + (1.0 - alpha_t) * prev_t
+        step_loss = jnp.mean(bce_probs(blended, gt_t))
+        return blended, step_loss
 
     gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))  # [K-1, O, H, W]
+    prev_prop = jnp.transpose(prev_round[:, 1:], (1, 0, 2, 3))
     _, step_losses = jax.lax.scan(
-        body, anno_prob, (r4s[1:], r3s[1:], r2s[1:], gt_prop)
+        body,
+        anno_prob,
+        (r4s[1:], r3s[1:], r2s[1:], gt_prop, prev_prop, alpha[1:, None, None, None]),
     )
     return loss + jnp.mean(step_losses)
 
@@ -97,6 +135,42 @@ def vos_train_step(params, opt_state, batch, optimizer, loss_fn):
     return params, opt_state, loss
 
 
+def _degrade_masks(gt_onehot: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Plausible previous-round probability maps from ground truth.
+
+    Emulates an imperfect earlier prediction: per-object random shift,
+    erosion/dilation, occasional total miss, and a confidence below 1 — the
+    input distribution the reference's round-≥2 channels see
+    (utils/utils_atnet.py:40-52 feeds real previous-round prob maps)."""
+    import cv2
+
+    o, k, h, w = gt_onehot.shape
+    prev = np.zeros_like(gt_onehot, dtype=np.float32)
+    kern = np.ones((3, 3), np.uint8)
+    max_shift = max(2, h // 16)
+    for i in range(o):
+        if rng.random() < 0.1:  # whole-object miss: round 1 failed entirely
+            continue
+        dy, dx = rng.integers(-max_shift, max_shift + 1, size=2)
+        m = np.roll(gt_onehot[i], (int(dy), int(dx)), axis=(1, 2))
+        iters = int(rng.integers(0, 3))
+        if iters:
+            op = cv2.erode if rng.random() < 0.5 else cv2.dilate
+            m = np.stack(
+                [op(f.astype(np.uint8), kern, iterations=iters) for f in m]
+            ).astype(np.float32)
+        conf = 0.55 + 0.4 * rng.random()
+        prev[i] = m * conf
+    return prev
+
+
+def _prev_labels(prev_round: np.ndarray) -> np.ndarray:
+    """[O,K,H,W] prob maps → [K,H,W] label masks (argmax, bg where all <0.5)."""
+    best = prev_round.max(axis=0)
+    label = prev_round.argmax(axis=0).astype(np.int32) + 1
+    return np.where(best >= 0.5, label, 0).astype(np.int32)
+
+
 def sample_windows(
     registry,
     sequences,
@@ -104,11 +178,20 @@ def sample_windows(
     window: int,
     robot,
     scribble_dilation: int = 3,
+    round2_prob: float = 0.5,
 ) -> Iterator[dict]:
     """Infinite stream of training windows (host-side). Yields everything
-    any backbone family consumes: round-1 interaction channels (tapnet),
-    per-object pos/neg scribble maps (ipnet), full scribble maps (matchnet)."""
+    any backbone family consumes: interaction channels (tapnet), per-object
+    pos/neg scribble maps (ipnet), full scribble maps (matchnet).
+
+    With probability ``round2_prob`` a window is a ROUND-2 episode: a
+    degraded previous-round prediction drives corrective robot scribbles,
+    the A-Net channels are [prev-prob, pos, neg] instead of [0.5, pos, 0]
+    (reference utils/utils_atnet.py:40-52), frame K-1 becomes a second
+    annotated-memory entry, and the alpha blend ramp toward it is active
+    (utils/utils_atnet.py:126-147)."""
     from ivosw_tpu.data.scribbles import scribble_masks_per_object
+    from ivosw_tpu.models.vos.tapnet import compute_alpha
 
     fruitless = 0
     while True:
@@ -134,28 +217,73 @@ def sample_windows(
         if n_obj == 0:
             fruitless += 1
             continue
-        scrib = robot.interact(seq, np.zeros_like(g), g, n_obj, frame=0)
         h, w = g.shape[1:]
+        gt_onehot = np.zeros((n_obj, window, h, w), dtype=np.float32)
+        for obj in range(1, n_obj + 1):
+            gt_onehot[obj - 1] = (g == obj).astype(np.float32)
+
+        round2 = rng.random() < round2_prob
+        if round2:
+            prev_round = _degrade_masks(gt_onehot, rng)
+            prev_lab = _prev_labels(prev_round)
+            alpha = compute_alpha(window, np.array([window - 1]), 0)
+        else:
+            # round 1: no previous prediction; alpha ramp inactive (all 1)
+            prev_round = np.full_like(gt_onehot, 0.5)
+            prev_lab = np.zeros_like(g)
+            alpha = np.ones(window, dtype=np.float32)
+
+        scrib = robot.interact(seq, prev_lab, g, n_obj, frame=0)
         maps = scribble_masks_per_object(
             scrib, (h, w), 0, n_obj, dilation=scribble_dilation
         )
+        if round2:
+            scrib2 = robot.interact(seq, prev_lab, g, n_obj, frame=window - 1)
+            maps2 = scribble_masks_per_object(
+                scrib2, (h, w), window - 1, n_obj, dilation=scribble_dilation
+            )
+        else:
+            maps2 = np.zeros_like(maps)
         any_scrib = maps.sum(axis=0)
+        any_scrib2 = maps2.sum(axis=0)
         interaction = np.zeros((n_obj, h, w, 3), dtype=np.float32)
+        interaction2 = np.zeros((n_obj, h, w, 3), dtype=np.float32)
         pos = np.zeros((n_obj, h, w), dtype=np.float32)
         neg = np.zeros((n_obj, h, w), dtype=np.float32)
-        gt_onehot = np.zeros((n_obj, window, h, w), dtype=np.float32)
         for obj in range(1, n_obj + 1):
             pos[obj - 1] = maps[obj]
             neg[obj - 1] = np.clip(any_scrib - maps[obj], 0.0, 1.0)
-            interaction[obj - 1] = np.stack(
-                [np.full((h, w), 0.5, np.float32), maps[obj], np.zeros((h, w), np.float32)],
-                axis=-1,
-            )
-            gt_onehot[obj - 1] = (g == obj).astype(np.float32)
+            if round2:
+                # reference round-≥2 channels: [prev-mask, pos, neg]
+                interaction[obj - 1] = np.stack(
+                    [prev_round[obj - 1, 0], maps[obj], neg[obj - 1]], axis=-1
+                )
+                interaction2[obj - 1] = np.stack(
+                    [
+                        prev_round[obj - 1, -1],
+                        maps2[obj],
+                        np.clip(any_scrib2 - maps2[obj], 0.0, 1.0),
+                    ],
+                    axis=-1,
+                )
+            else:
+                # reference round-1 channels: [0.5, pos, 0]
+                interaction[obj - 1] = np.stack(
+                    [
+                        np.full((h, w), 0.5, np.float32),
+                        maps[obj],
+                        np.zeros((h, w), np.float32),
+                    ],
+                    axis=-1,
+                )
         yield {
             "img": img.astype(np.float32),
             "gt": gt_onehot,
             "interaction": interaction,
+            "interaction2": interaction2,
+            "prev_round": prev_round,
+            "alpha": alpha.astype(np.float32),
+            "mem2_valid": np.float32(1.0 if round2 else 0.0),
             "pos": pos,
             "neg": neg,
             "scrib_maps": maps.astype(np.float32),
@@ -181,7 +309,11 @@ def matchnet_window_loss(params, batch):
     pos = jimage.resize(scrib[1:], (o, h16, w16), "bilinear")
     neg_full = jnp.clip(scrib.sum(0, keepdims=True) - scrib[1:], 0, 1)
     neg = jimage.resize(neg_full, (o, h16, w16), "bilinear")
-    prev = jnp.zeros((o, h16, w16, 1), jnp.bfloat16)
+    # round-2 samples feed the degraded previous-round mask, round-1 zeros
+    prev_full = batch["prev_round"][:, 0] * batch["mem2_valid"]
+    prev = jimage.resize(prev_full, (o, h16, w16), "bilinear")[..., None].astype(
+        jnp.bfloat16
+    )
     scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
     r4o = jnp.broadcast_to(r4s[0][None], (o,) + r4s[0].shape)
     r3o = jnp.broadcast_to(r3s[0][None], (o,) + r3s[0].shape)
@@ -230,7 +362,8 @@ def ipnet_window_loss(params, batch):
     hw = img.shape[1:3]
 
     img0 = jnp.broadcast_to(img[0][None], (o,) + img[0].shape)
-    prev0 = jnp.zeros((o,) + hw, jnp.float32)
+    # round-2 samples feed the degraded previous-round mask, round-1 zeros
+    prev0 = batch["prev_round"][:, 0] * batch["mem2_valid"]
     anno_logit = model.apply(
         {"params": params}, img0, batch["pos"], batch["neg"], prev0,
         method=IPNet.interact,
@@ -285,6 +418,7 @@ def run(
     params=None,
     log=None,
     save_every: int = 500,
+    round2_prob: float = 0.5,
 ):
     """Train the backbone family selected by ``cfg.vos``."""
     from ivosw_tpu.data.registry import registry_from_config
@@ -303,7 +437,9 @@ def run(
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
 
-    stream = sample_windows(registry, sequences, rng, window, robot)
+    stream = sample_windows(
+        registry, sequences, rng, window, robot, round2_prob=round2_prob
+    )
     loss_meter = AverageMeter()
     for step in range(1, num_steps + 1):
         batch = next(stream)
@@ -329,8 +465,26 @@ def main(argv=None):
     enable_compile_cache()
 
     argv = argv if argv is not None else sys.argv[1:]
-    cfg = load_config("configs/config.yaml", [a for a in argv if "=" in a])
-    return run(cfg)
+    # run() knobs ride the same key=value surface but are not config fields
+    run_keys = {
+        "num_steps": int,
+        "window": int,
+        "lr": float,
+        "save_every": int,
+        "round2_prob": float,
+    }
+    run_kwargs = {}
+    cfg_overrides = []
+    for a in argv:
+        if "=" not in a:
+            continue
+        key, value = a.split("=", 1)
+        if key in run_keys:
+            run_kwargs[key] = run_keys[key](value)
+        else:
+            cfg_overrides.append(a)
+    cfg = load_config("configs/config.yaml", cfg_overrides)
+    return run(cfg, **run_kwargs)
 
 
 if __name__ == "__main__":
