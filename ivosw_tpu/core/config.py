@@ -106,6 +106,10 @@ class Config:
     # (eval_agent_atnet.py:61) while davis_interactive.max_nb_interactions
     # governs training — kept separate here for the same reason
     eval_rounds: int = 8
+    # >1: data-parallel eval sweep — sequences shard round-robin over this
+    # many devices (evaluate_dp); the merged curve equals the single-device
+    # one (no reference equivalent: it is strictly single-GPU)
+    eval_dp_shards: int = 1
 
     data: DataConfig = field(default_factory=DataConfig)
     davis_interactive: DavisInteractiveConfig = field(

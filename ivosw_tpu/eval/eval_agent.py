@@ -31,6 +31,17 @@ from ivosw_tpu.ops.metrics import auc_from_curve, sequence_metric
 from ivosw_tpu.utils.misc import AverageMeter, create_stream_logger, set_random_seed
 
 
+def _sample_rng(seed: int, sequence: str, scribble_idx: int) -> np.random.Generator:
+    """Per-sample RNG, derived from the sample identity alone — stochastic
+    method decisions (method=random) are reproducible AND invariant to how
+    samples are sharded across devices/processes."""
+    import zlib
+
+    return np.random.default_rng(
+        np.random.SeedSequence([seed, zlib.crc32(sequence.encode()), scribble_idx])
+    )
+
+
 def evaluate(
     cfg: Config,
     registry,
@@ -43,10 +54,14 @@ def evaluate(
     robot: Optional[ScribbleRobot] = None,
     log=None,
     vos_name: Optional[str] = None,
+    samples=None,
 ):
-    """Run the full interactive evaluation; returns the summary dict."""
+    """Run the full interactive evaluation; returns the summary dict.
+
+    ``samples``: optional explicit (sequence, scribble_idx) list — the unit
+    of data-parallel sharding for evaluate_dp."""
     log = log or create_stream_logger("eval")
-    rng = set_random_seed(cfg.seed)
+    set_random_seed(cfg.seed)
     metric_to_optimize = cfg.davis_interactive.metric
     vos_name = vos_name or getattr(adapter, "name", "vos")
     allow_repeat = cfg.davis_interactive.allow_repeat
@@ -77,12 +92,15 @@ def evaluate(
         robot=robot or robot_from_config(cfg, seed=cfg.seed),
         seed=cfg.seed,
     ) as sess:
+        if samples is not None:
+            sess.samples = list(samples)
         while sess.next():
             sequence, scribbles, first_scribble = sess.get_scribbles(only_last=False)
             af = annotated_frames(sess.sample_last_scribble)
 
             if first_scribble:
                 seen_seq[sequence] = seen_seq.get(sequence, 0) + 1
+                rng = _sample_rng(cfg.seed, sequence, sess.current_sample[1])
                 info = registry.info(sequence)
                 gt_masks = registry.load_annotations(sequence)
                 all_F = registry.load_images(sequence)
@@ -186,6 +204,91 @@ def evaluate(
         "seg_time_avg": seg_meter.avg,
         "rec_time_avg": rec_meter.avg,
     }
+    summary["report"] = sess.get_report()
+    return summary
+
+
+def evaluate_dp(
+    cfg: Config,
+    registry,
+    adapter_factory,
+    n_shards: Optional[int] = None,
+    devices=None,
+    agent=None,
+    assess_variables=None,
+    subset: str = "val",
+    max_nb_interactions: int = 8,
+    report_save_dir: Optional[str] = None,
+    vos_name: Optional[str] = None,
+    log=None,
+):
+    """Data-parallel interactive evaluation: sequences sharded over devices.
+
+    The TPU equivalent SURVEY §2 #26 names for the reference's absent
+    parallelism: the (sequence × scribble) sample list splits round-robin
+    into one shard per device; each shard runs the standard interactive loop
+    in its own thread with its device programs pinned to that device
+    (jax.default_device is thread-local), and per-round metrics merge into
+    exactly the curve a single-device run over all samples produces —
+    per-sample RNG derivation makes even method=random shard-invariant.
+    ``adapter_factory`` builds a fresh backbone per shard so params land on
+    the shard's device and per-sequence state never crosses threads.
+    """
+    import concurrent.futures
+
+    import jax
+
+    log = log or create_stream_logger("eval_dp")
+    devices = devices if devices is not None else jax.devices()
+    n = min(n_shards or len(devices), len(devices))
+    vos_name = vos_name or cfg.vos
+    metric = cfg.davis_interactive.metric
+    if report_save_dir is None:
+        report_save_dir = os.path.join(
+            "results", vos_name, cfg.setting, cfg.dataset, cfg.method
+        )
+    os.makedirs(report_save_dir, exist_ok=True)
+
+    samples = [
+        (seq, i)
+        for seq in registry.subset(subset)
+        for i in range(1, registry.info(seq).num_scribbles + 1)
+    ]
+    shards = [samples[i::n] for i in range(n)]
+
+    def run_shard(i: int):
+        if not shards[i]:
+            return None
+        with jax.default_device(devices[i]):
+            return evaluate(
+                cfg,
+                registry,
+                adapter_factory(),
+                agent=agent,
+                assess_variables=assess_variables,
+                subset=subset,
+                max_nb_interactions=max_nb_interactions,
+                report_save_dir=os.path.join(report_save_dir, f"shard{i}"),
+                vos_name=vos_name,
+                samples=shards[i],
+                log=log,
+            )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as pool:
+        results = [r for r in pool.map(run_shard, range(n)) if r is not None]
+
+    rows = [row for r in results for row in r["report"]]
+    rounds = sorted({row["interaction"] for row in rows})
+    curve = [
+        float(np.mean([row["value"] for row in rows if row["interaction"] == r]))
+        for r in rounds
+    ]
+    auc = auc_from_curve(curve)
+    log.info(f"# dp sweep ({n} shards): auc:{auc * 100:.4f}")
+    summary = {"auc": auc, "curve": {metric: curve}}
+    with open(os.path.join(report_save_dir, "summary.json"), "w") as fp:
+        json.dump(summary, fp)
+    summary["n_shards"] = n
     return summary
 
 
@@ -196,7 +299,6 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
     from ivosw_tpu.models.agent import Agent
 
     registry = registry_from_config(cfg)
-    adapter = build_backbone(cfg, registry)
 
     agent = None
     assess_variables = None
@@ -223,10 +325,21 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
 
             assess_variables = init_assess_variables(jax.random.PRNGKey(cfg.seed))
 
+    if cfg.eval_dp_shards > 1:
+        return evaluate_dp(
+            cfg,
+            registry,
+            lambda: build_backbone(cfg, registry),
+            n_shards=cfg.eval_dp_shards,
+            agent=agent,
+            assess_variables=assess_variables,
+            max_nb_interactions=cfg.eval_rounds,
+            vos_name=cfg.vos,
+        )
     return evaluate(
         cfg,
         registry,
-        adapter,
+        build_backbone(cfg, registry),
         agent=agent,
         assess_variables=assess_variables,
         max_nb_interactions=cfg.eval_rounds,

@@ -157,6 +157,11 @@ class InteractiveSession:
         with open(path) as fp:
             return json.load(fp)
 
+    @property
+    def current_sample(self) -> Tuple[str, int]:
+        """The (sequence, scribble_idx) pair currently being annotated."""
+        return self.samples[self._sample_idx]
+
     # ---------------------------------------------------------- scribbles --
     def get_scribbles(self, only_last: bool = False):
         sequence, _ = self.samples[self._sample_idx]

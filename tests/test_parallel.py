@@ -1,6 +1,7 @@
 """Mesh/sharding tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 
 def test_make_mesh_shapes(eight_devices):
@@ -72,3 +73,50 @@ def test_assess_param_shardings_rule(eight_devices):
     conv1 = shardings["params"]["conv1"]["kernel"]
     # conv kernels shard output channels over 'model'
     assert conv1.spec == jax.sharding.PartitionSpec(None, None, None, "model")
+
+
+@pytest.mark.parametrize("method", ["worst", "random"])
+def test_dp_eval_sweep_equals_single_device(eight_devices, tmp_path, method):
+    """The 8-device sequences-sharded sweep must reproduce the single-device
+    curve exactly — including method=random, whose decisions derive from
+    per-sample RNG and are therefore shard-invariant."""
+    from ivosw_tpu.core.config import Config
+    from ivosw_tpu.data.registry import SequenceRegistry
+    from ivosw_tpu.eval.eval_agent import evaluate, evaluate_dp
+    from ivosw_tpu.models.vos.fake import FakeVOS
+
+    registry = SequenceRegistry.synthetic(
+        ["p-a", "p-b", "p-c"], num_frames=6, image_size=(48, 40),
+        num_objects=2, seed=5,
+    )
+    setting = "oracle" if method == "worst" else "wild"
+    cfg = Config(seed=0, setting=setting, method=method, vos="fake")
+    cfg.davis_interactive.allow_repeat = 0
+
+    single = evaluate(
+        cfg,
+        registry,
+        FakeVOS(registry, max_quality=0.8),
+        max_nb_interactions=3,
+        report_save_dir=str(tmp_path / "single"),
+        vos_name="fake",
+    )
+    sharded = evaluate_dp(
+        cfg,
+        registry,
+        lambda: FakeVOS(registry, max_quality=0.8),
+        n_shards=8,
+        devices=eight_devices,
+        max_nb_interactions=3,
+        report_save_dir=str(tmp_path / "dp"),
+        vos_name="fake",
+    )
+    np.testing.assert_allclose(
+        sharded["curve"]["J_AND_F"], single["curve"]["J_AND_F"], atol=1e-12
+    )
+    assert sharded["auc"] == pytest.approx(single["auc"], abs=1e-12)
+    import json as _json
+
+    with open(tmp_path / "dp" / "summary.json") as fp:
+        on_disk = _json.load(fp)
+    assert on_disk["auc"] == pytest.approx(single["auc"], abs=1e-12)
