@@ -52,6 +52,78 @@ def _ref_style_bbox_host(mask_np: np.ndarray, scale=1.5) -> np.ndarray:
     return out
 
 
+def _bench_crop_paths(jax, jnp, frames, probs):
+    """Time the flagship T×O ROI crop: XLA einsum path vs pallas kernel.
+
+    The pallas kernel only runs after a subprocess probe proves this image's
+    Mosaic remote-compile service is healthy (it has been observed to hang;
+    a hang here would stall the whole bench)."""
+    import functools
+    import os
+    import subprocess
+    import sys
+
+    from ivosw_tpu.kernels.roi_pallas import (
+        roi_crop_pairs_einsum,
+        roi_crop_pairs_pallas,
+    )
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    t, o = probs.shape[0], probs.shape[1]
+    h, w = frames.shape[1], frames.shape[2]
+    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(tm, scale=1.5)
+
+    def time_fn(fn):
+        out = fn(frames, probs, yxhw)
+        jax.block_until_ready(out)
+        tic = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(frames, probs, yxhw)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - tic) / ITERS
+
+    einsum_fn = jax.jit(functools.partial(roi_crop_pairs_einsum, out_size=256))
+    detail = {"einsum_ms": round(time_fn(einsum_fn) * 1e3, 2)}
+
+    if jax.default_backend() != "tpu":
+        detail["pallas"] = "skipped: not a TPU backend"
+        return detail
+    probe = (
+        "import numpy as np, jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_ivosw_bench')\n"
+        "from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_pallas\n"
+        "from ivosw_tpu.ops.roi import mask_to_yxhw\n"
+        "rng = np.random.default_rng(0)\n"
+        "frames = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)\n"
+        "probs = jnp.asarray(rng.random((2, 1, 64, 64)), jnp.float32)\n"
+        "tm = (probs > 0.5).astype(jnp.float32).reshape(2, 64, 64)\n"
+        "out = roi_crop_pairs_pallas(frames, probs, mask_to_yxhw(tm, scale=1.5), 64)\n"
+        "jax.block_until_ready(out)\n"
+        "print('PALLAS_PROBE_OK')\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORM_NAME", None)
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True,
+            text=True,
+            timeout=240,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        detail["pallas"] = "skipped: Mosaic remote compile hung"
+        return detail
+    if "PALLAS_PROBE_OK" not in proc.stdout:
+        detail["pallas"] = f"skipped: probe failed: {proc.stderr[-200:]}"
+        return detail
+    pallas_fn = functools.partial(roi_crop_pairs_pallas, out_size=256)
+    detail["pallas_ms"] = round(time_fn(pallas_fn) * 1e3, 2)
+    return detail
+
+
 def main():
     import jax
 
@@ -138,6 +210,9 @@ def main():
     ref_time = (time.perf_counter() - tic) / max(ITERS // 2, 2)
     ref_fps = T / ref_time
 
+    # ------------------- crop path: pallas kernel vs einsum (detail) ------
+    crop_detail = _bench_crop_paths(jax, jnp, frames, probs)
+
     print(
         json.dumps(
             {
@@ -150,6 +225,7 @@ def main():
                     "reference_style_ms_per_round": round(ref_time * 1e3, 2),
                     "clip": {"T": T, "O": O, "H": H, "W": W},
                     "device": str(jax.devices()[0]),
+                    "crop": crop_detail,
                 },
             }
         )

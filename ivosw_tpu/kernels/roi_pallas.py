@@ -100,6 +100,15 @@ def roi_crop_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))  # back to NHWC
 
 
+def _pallas_enabled() -> bool:
+    import os
+
+    return (
+        os.environ.get("IVOSW_ENABLE_PALLAS") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
 def roi_crop_best(images, yxhw, out_size: int = ROI_S):
     """Pallas on TPU when enabled, XLA-einsum fallback otherwise.
 
@@ -107,13 +116,148 @@ def roi_crop_best(images, yxhw, out_size: int = ROI_S):
     service is unreliable (hangs/500s observed on kernels the interpreter
     validates fine), and the einsum path already runs the crop on the MXU.
     """
-    import os
-
-    if (
-        os.environ.get("IVOSW_ENABLE_PALLAS") == "1"
-        and jax.default_backend() == "tpu"
-    ):
+    if _pallas_enabled():
         return roi_crop_pallas(images, yxhw, out_size)
     from ivosw_tpu.ops.roi import roi_crop
 
     return roi_crop(images, yxhw, out_size, dtype=images.dtype)
+
+
+# ------------------------------------------------- flagship T×O pair crop --
+def _interp_mats(box_ref, i, h, w, s):
+    ymin, ymax = box_ref[i, 0], box_ref[i, 1]
+    xmin, xmax = box_ref[i, 2], box_ref[i, 3]
+    steps = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32) / (s - 1)
+    )
+    ycoords = ymin + (ymax - ymin) * steps
+    xcoords = xmin + (xmax - xmin) * steps
+    hsrc = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1).astype(jnp.float32)
+    wsrc = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(ycoords - hsrc))  # [S, H]
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(xcoords - wsrc))  # [S, W]
+    return ry, rx
+
+
+def _pair_channel_kernel(box_ref, img_ref, out_ref, *, h, w, s):
+    """grid = (T*O, C): pair i, one image channel per step — a [1,1,H,W]
+    block fits the double-buffered VMEM budget even at 480p (a fused C=4
+    block does not: 24 MB > the 16 MB scoped-vmem limit, measured)."""
+    i = pl.program_id(0)
+    ry, rx = _interp_mats(box_ref, i, h, w, s)
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.dot(ry, img_ref[0, 0], precision=hi, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.dot(tmp, rx.T, precision=hi, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "interpret"))
+def roi_crop_pairs_pallas(
+    frames: jnp.ndarray,  # [T, H, W, 3] float32
+    probs: jnp.ndarray,  # [T, O, H, W] float32
+    yxhw: jnp.ndarray,  # [T*O, 4]
+    out_size: int = ROI_S,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All T×O (frame, object) ROI crops fused: → [T*O, S, S, 4] (rgb+prob).
+
+    Pair i crops frame i//O with object i%O's box; the BlockSpec index maps
+    route frame/prob blocks per grid step, so the [T*O, H, W] frame broadcast
+    (~GBs of HBM at DAVIS scale) never exists. Two pallas calls (frame
+    channels / prob maps) keep each step's working set under the VMEM limit.
+    """
+    t, h, w, _ = frames.shape
+    o = probs.shape[1]
+    s = out_size
+    ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
+    boxes = jnp.stack([ymin, ymax, xmin, xmax], axis=1).astype(jnp.float32)
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2)).astype(jnp.float32)
+
+    kern = functools.partial(_pair_channel_kernel, h=h, w=w, s=s)
+    frame_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t * o, 3),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, h, w),
+                lambda i, c, *_: (i // o, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, s, s), lambda i, c, *_: (i, c, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out_f = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((t * o, 3, s, s), jnp.float32),
+        grid_spec=frame_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * o * (s * h * w + s * s * w) * 3,
+            bytes_accessed=t * o * 3 * (h * w + s * s) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(boxes, frames_chw)
+
+    prob_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t * o,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, h, w),
+                lambda i, *_: (i // o, i % o, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, s, s), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out_p = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((t * o, 1, s, s), jnp.float32),
+        grid_spec=prob_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * o * (s * h * w + s * s * w),
+            bytes_accessed=t * o * (h * w + s * s) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(boxes, probs.astype(jnp.float32))
+
+    out = jnp.concatenate([out_f, out_p], axis=1)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def roi_crop_pairs(frames, probs, yxhw, out_size: int = ROI_S):
+    """Flagship T×O pair crop: pallas kernel when enabled, pair-indexed
+    einsums otherwise (identical numerics, parity-tested). Returns
+    (tf_roi [T*O, S, S, 3], tp_roi [T*O, S, S, 1])."""
+    if _pallas_enabled():
+        out = roi_crop_pairs_pallas(frames, probs, yxhw, out_size)
+        return out[..., :3], out[..., 3:]
+    return roi_crop_pairs_einsum(frames, probs, yxhw, out_size)
+
+
+def roi_crop_pairs_einsum(frames, probs, yxhw, out_size: int = ROI_S):
+    """XLA path of the flagship pair crop (the default; see roi_crop_pairs)."""
+    t, h, w, _ = frames.shape
+    o = probs.shape[1]
+    s = out_size
+
+    from ivosw_tpu.ops.roi import _interp_matrix
+
+    ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
+    ry = _interp_matrix(ymin, ymax, h, s).reshape(t, o, s, h)
+    rx = _interp_matrix(xmin, xmax, w, s).reshape(t, o, s, w)
+    precision = jax.lax.Precision.HIGHEST
+    # frame crop: contract each frame ONCE per pair via pair-indexed
+    # interpolation matrices — no [T*O, H, W, 3] broadcast in HBM
+    tmp_f = jnp.einsum("tosh,thwc->toswc", ry, frames, precision=precision)
+    tf_roi = jnp.einsum("toxw,toswc->tosxc", rx, tmp_f, precision=precision)
+    tmp_p = jnp.einsum("tosh,tohw->tosw", ry, probs, precision=precision)
+    tp_roi = jnp.einsum("toxw,tosw->tosx", rx, tmp_p, precision=precision)
+    return (
+        tf_roi.reshape(t * o, s, s, 3),
+        tp_roi.reshape(t * o, s, s, 1),
+    )

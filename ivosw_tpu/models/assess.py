@@ -130,12 +130,15 @@ def score_clip(
     mask for padded object slots. Returns [T, O] scores with invalid slots
     zeroed. Replaces the per-object host loop of utils/utils_agent.py:103-121.
 
-    The ROI crop contracts each frame ONCE per (t, o) pair through
-    pair-indexed interpolation matrices — the frame tensor is never
-    broadcast/materialised at T×O (that would be ~1 GB of HBM traffic at
-    DAVIS scale); only the 256² crops exist per pair.
+    The ROI crop goes through :func:`ivosw_tpu.kernels.roi_pallas.
+    roi_crop_pairs` — one code path that contracts each frame ONCE per
+    (t, o) pair (pallas kernel when enabled, pair-indexed einsums
+    otherwise); the frame tensor is never broadcast/materialised at T×O
+    (that would be ~1 GB of HBM traffic at DAVIS scale); only the 256²
+    crops exist per pair.
     """
-    from ivosw_tpu.ops.roi import _interp_matrix, mask_to_yxhw, yxhw_to_minmax
+    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs
+    from ivosw_tpu.ops.roi import mask_to_yxhw
 
     t, o = probs.shape[0], probs.shape[1]
     h, w = frames.shape[1], frames.shape[2]
@@ -143,29 +146,10 @@ def score_clip(
 
     tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
     yxhw = mask_to_yxhw(tm, scale=1.5)
-    ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
-    ry = _interp_matrix(ymin, ymax, h, s).reshape(t, o, s, h)
-    rx = _interp_matrix(xmin, xmax, w, s).reshape(t, o, s, w)
-
-    precision = jax.lax.Precision.HIGHEST
-    # frame crop: contract each frame's rows/cols with pair-indexed matrices
-    tmp_f = jnp.einsum(
-        "tosh,thwc->toswc", ry, frames, precision=precision
-    )  # [T, O, s, W, 3]
-    tf_roi = jnp.einsum(
-        "toxw,toswc->tosxc", rx, tmp_f, precision=precision
-    )  # [T, O, s, s, 3]
-    # prob crop: probs are already per-pair
-    tmp_p = jnp.einsum("tosh,tohw->tosw", ry, probs, precision=precision)
-    tp_roi = jnp.einsum("toxw,tosw->tosx", rx, tmp_p, precision=precision)
+    tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, s)
 
     model = AssessNet(dtype=jnp.bfloat16)
-    q = model.apply(
-        variables,
-        tf_roi.reshape(t * o, s, s, 3),
-        tp_roi.reshape(t * o, s, s, 1),
-        train=False,
-    )
+    q = model.apply(variables, tf_roi, tp_roi, train=False)
     return q.reshape(t, o) * obj_valid[None, :]
 
 
