@@ -154,10 +154,16 @@ def run(
     opt_state = optimizer.init(variables["params"])
 
     metric = cfg.davis_interactive.metric
+    # resize target follows the data: the reference's fixed Resize(854x480)
+    # (quality_assessment.py:216) is an identity on DAVIS; on other-sized
+    # registries a fixed 480p target would upsample every sample ~100x
+    # (measured: 9 s steps and multi-GB host batches on 64x48 demo clips)
+    sizes = [info.image_size for info in registry.sequences.values()]
+    size_wh = max(set(sizes), key=sizes.count) if sizes else (854, 480)
     loss_meter = AverageMeter()
     for epoch in range(1, num_epochs + 1):
         lr = a.lr * (a.gamma ** (epoch - 1))  # ExponentialLR
-        transform = QAAugmentPipeline(seed=cfg.seed + epoch)
+        transform = QAAugmentPipeline(size_wh=size_wh, seed=cfg.seed + epoch)
         dataset = QARegressionDataset(
             registry, save_result_dir, transform=transform, seed=cfg.seed + epoch
         )

@@ -1,0 +1,79 @@
+"""Capability-demonstration regression: "ours" beats the baselines.
+
+Guards the committed `results/tapnet/*/synthetic/*/summary.json` artifacts
+produced by `scripts/demo_ordering.py` — the demo-scale reproduction of the
+ordering the reference's results table proves (reference
+`results/**/summary.json`: ours > worst/random/linspace in the wild setting,
+ours > worst in oracle).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+RESULTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "results",
+    "tapnet",
+)
+# ordering can legitimately wobble by a hair across jax/cv2 versions when the
+# artifacts are regenerated; the demonstration requires a real margin though
+MARGIN = 0.0
+
+
+def _auc(setting: str, method: str) -> float:
+    path = os.path.join(RESULTS, setting, "synthetic", method, "summary.json")
+    if not os.path.exists(path):
+        pytest.skip(f"demo artifacts not generated ({path} missing)")
+    with open(path) as fp:
+        summary = json.load(fp)
+    return float(summary["auc"])
+
+
+def test_wild_ours_beats_every_baseline():
+    ours = _auc("wild", "ours")
+    for method in ("worst", "random", "linspace"):
+        assert ours > _auc("wild", method) + MARGIN, (
+            method,
+            ours,
+            _auc("wild", method),
+        )
+
+
+def test_oracle_ours_beats_worst():
+    assert _auc("oracle", "ours") > _auc("oracle", "worst") + MARGIN
+
+
+def test_curves_are_sane():
+    """Every committed curve starts below where it ends (interaction helps)
+    and stays in [0, 1]."""
+    for setting, methods in (
+        ("oracle", ("ours", "worst")),
+        ("wild", ("ours", "worst", "random", "linspace")),
+    ):
+        for method in methods:
+            path = os.path.join(
+                RESULTS, setting, "synthetic", method, "summary.json"
+            )
+            if not os.path.exists(path):
+                pytest.skip("demo artifacts not generated")
+            with open(path) as fp:
+                curve = np.asarray(json.load(fp)["curve"]["J_AND_F"])
+            assert ((curve >= 0) & (curve <= 1)).all()
+            assert curve[-1] > curve[0], (setting, method, curve)
+
+
+def test_demo_registry_is_deterministic():
+    from ivosw_tpu.data.demo import demo_registry
+
+    a = demo_registry(seed=0)
+    b = demo_registry(seed=0)
+    assert a.subset("train") == b.subset("train")
+    for seq in ("dm-t0", "dm-v3"):
+        np.testing.assert_array_equal(a.load_images(seq), b.load_images(seq))
+        np.testing.assert_array_equal(
+            a.load_annotations(seq), b.load_annotations(seq)
+        )
+    assert a.hard_starts == b.hard_starts
