@@ -7,12 +7,17 @@ weights exist in this environment, so this module generates a synthetic
 registry engineered to reproduce that ordering *for the same reason it holds
 on DAVIS*: not every low-quality frame is worth annotating.
 
-Each clip contains a contiguous **hard band** of frames whose object
+Each clip contains two contiguous **hard bands** of frames whose object
 appearance is corrupted (texture destroyed + same-coloured distractor blobs).
 Segmentation quality there stays low even after direct annotation, and
 scribbles there propagate poorly. A min-quality policy ("worst") burns its
-interaction budget walking through the band; a trained agent learns from the
+interaction budget walking through the bands; a trained agent learns from the
 (quality curve, annotation counts) state to spend rounds where they pay off.
+
+Clips are long relative to the interaction budget (48 frames vs 8 rounds at
+evaluation) so frame choice is genuinely scarce — on short clips every policy
+saturates and the methods become indistinguishable (measured: 16-frame clips
+put all six setting×method AUCs within ±0.004).
 
 Everything is derived from one integer seed — tests and the committed
 results can recreate the exact dataset bit-for-bit.
@@ -27,11 +32,11 @@ import numpy as np
 from ivosw_tpu.data.registry import SequenceInfo, SequenceRegistry
 
 H, W = 48, 64
-NUM_FRAMES = 16
-HARD_LEN = 5  # hard-band length per clip
+NUM_FRAMES = 48
+HARD_LEN = 8  # per hard band; two bands per clip
 NUM_OBJECTS = 2
 TRAIN_SEQS = [f"dm-t{i}" for i in range(12)]
-VAL_SEQS = [f"dm-v{i}" for i in range(4)]
+VAL_SEQS = [f"dm-v{i}" for i in range(8)]
 
 
 # shared appearance across clips: object identity is colour-coded the same
@@ -41,8 +46,14 @@ VAL_SEQS = [f"dm-v{i}" for i in range(4)]
 PALETTE = np.array([[0.85, 0.25, 0.20], [0.20, 0.80, 0.30]], dtype=np.float32)
 
 
-def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, int]:
-    """One clip: textured background + drifting objects + a hard band."""
+def _reflect01(x: float) -> float:
+    """Reflect a scalar into [0, 1] (smooth bounce, no wraparound teleport)."""
+    x = float(np.mod(x, 2.0))
+    return 2.0 - x if x > 1.0 else x
+
+
+def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]:
+    """One clip: textured background + drifting objects + two hard bands."""
     frames = np.zeros((NUM_FRAMES, H, W, 3), dtype=np.float32)
     anns = np.zeros((NUM_FRAMES, H, W), dtype=np.uint8)
     base = rng.random((H, W, 3)).astype(np.float32) * 0.3
@@ -57,16 +68,19 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, int]:
         0.0,
         1.0,
     )
-    # hard band never touches the first/last frames (round-1 anchors)
-    hard_start = int(rng.integers(2, NUM_FRAMES - HARD_LEN - 2))
+    # two disjoint hard bands, never touching the first/last frames
+    # (round-1 anchors); placement keeps >=4 clean frames between bands
+    s1 = int(rng.integers(2, 15))
+    s2 = int(rng.integers(s1 + HARD_LEN + 4, NUM_FRAMES - HARD_LEN - 2))
+    hard_starts = (s1, s2)
 
     for t in range(NUM_FRAMES):
         frame = base + rng.normal(0, 0.02, (H, W, 3)).astype(np.float32)
         ann = np.zeros((H, W), dtype=np.uint8)
-        hard = hard_start <= t < hard_start + HARD_LEN
+        hard = any(s <= t < s + HARD_LEN for s in hard_starts)
         for o in range(NUM_OBJECTS):
-            cy = int((centers[o, 0] + vels[o, 0] * t) * H) % H
-            cx = int((centers[o, 1] + vels[o, 1] * t) * W) % W
+            cy = int(_reflect01(centers[o, 0] + vels[o, 0] * t) * (H - 1))
+            cx = int(_reflect01(centers[o, 1] + vels[o, 1] * t) * (W - 1))
             s = int(sizes[o])
             y0, y1 = max(0, cy - s // 2), min(H, cy + s // 2)
             x0, x1 = max(0, cx - s // 2), min(W, cx + s // 2)
@@ -89,7 +103,7 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, int]:
                 frame[dy : dy + 8, dx : dx + 8][patch == 0] = colors[o]
         frames[t] = np.clip(frame, 0.0, 1.0)
         anns[t] = ann
-    return frames, anns, hard_start
+    return frames, anns, hard_starts
 
 
 def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistry:
@@ -105,7 +119,7 @@ def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistr
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xBEEF]))
     for i in range(n_clips):
         name = f"dmx-{i:04d}"
-        frames, anns, hard_start = _make_clip(rng)
+        frames, anns, hard_starts_i = _make_clip(rng)
         reg.sequences[name] = SequenceInfo(
             name=name,
             set="train",
@@ -122,14 +136,17 @@ def demo_registry(seed: int = 0) -> SequenceRegistry:
     """Train+val registry of hard-band clips (fully determined by seed).
 
     Returns a registry whose ``hard_starts`` attribute maps sequence name →
-    first frame of its hard band (diagnostics/tests only — the models never
-    see it)."""
+    tuple of first frames of its hard bands (diagnostics/tests only — the
+    models never see it)."""
     reg = SequenceRegistry()
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xDE]))
     hard_starts = {}
-    for names, split, n_scb in ((TRAIN_SEQS, "train", 1), (VAL_SEQS, "val", 2)):
+    # 3 scribbles per sequence like DAVIS: bootstrap frames land at t/6,
+    # t/2, 5t/6, giving the RL stages three distinct training windows per
+    # clip and 30-epoch reward baselines exactly 30 records per parity group
+    for names, split, n_scb in ((TRAIN_SEQS, "train", 3), (VAL_SEQS, "val", 3)):
         for name in names:
-            frames, anns, hard_start = _make_clip(rng)
+            frames, anns, hard_starts_i = _make_clip(rng)
             reg.sequences[name] = SequenceInfo(
                 name=name,
                 set=split,
@@ -139,6 +156,6 @@ def demo_registry(seed: int = 0) -> SequenceRegistry:
                 num_scribbles=n_scb,
             )
             reg._synthetic[name] = (frames, anns)
-            hard_starts[name] = hard_start
+            hard_starts[name] = hard_starts_i
     reg.hard_starts = hard_starts
     return reg

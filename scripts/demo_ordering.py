@@ -51,7 +51,8 @@ def base_config():
 
     cfg = Config(seed=0, vos="tapnet", dataset="synthetic", ckpt_dir=CKPT_DIR)
     cfg.data.subset = "train"
-    cfg.data.len_subseq = 12
+    # 1/3 of the 48-frame clips, mirroring the reference's 25-of-~70 ratio
+    cfg.data.len_subseq = 16
     cfg.agent.save_result_dir = TRAIN_DIR
     cfg.davis_interactive.max_nb_interactions = 5
     # from-scratch QA training needs a real learning rate (the reference's
@@ -75,7 +76,7 @@ def adapter(reg):
 def training_pool():
     from ivosw_tpu.data.demo import demo_training_registry
 
-    return demo_training_registry(n_clips=400, seed=1)
+    return demo_training_registry(n_clips=160, seed=1)
 
 
 def stage_tapnet(reg, force):
@@ -85,7 +86,7 @@ def stage_tapnet(reg, force):
     from ivosw_tpu.train import train_vos
 
     cfg = base_config()
-    # appearance training draws from the 400-clip generator pool, never the
+    # appearance training draws from the 160-clip generator pool, never the
     # fixed eval clips — a from-scratch net memorises 12 clips (measured)
     train_vos.run(
         cfg, registry=training_pool(), num_steps=6000, window=5, lr=3e-4,
@@ -100,7 +101,7 @@ def stage_qadata(reg, force):
 
     pool = training_pool()
     cfg = generate_qa_data.configure(base_config())
-    samples = [(seq, 1) for seq in pool.subset("train")[:48]]
+    samples = [(seq, 1) for seq in pool.subset("train")[:24]]
     generate_qa_data.run(
         cfg, registry=pool, adapter=adapter(pool), samples=samples,
         save_result_dir=QA_DIR,
