@@ -85,6 +85,10 @@ def _bench_crop_paths(jax, jnp, frames, probs):
 
     einsum_fn = jax.jit(functools.partial(roi_crop_pairs_einsum, out_size=256))
     detail = {"einsum_ms": round(time_fn(einsum_fn) * 1e3, 2)}
+    einsum_bf16_fn = jax.jit(
+        functools.partial(roi_crop_pairs_einsum, out_size=256, dtype=jnp.bfloat16)
+    )
+    detail["einsum_bf16_ms"] = round(time_fn(einsum_bf16_fn) * 1e3, 2)
 
     if jax.default_backend() != "tpu":
         detail["pallas"] = "skipped: not a TPU backend"

@@ -229,17 +229,23 @@ def roi_crop_pairs_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def roi_crop_pairs(frames, probs, yxhw, out_size: int = ROI_S):
+def roi_crop_pairs(frames, probs, yxhw, out_size: int = ROI_S, dtype=jnp.float32):
     """Flagship T×O pair crop: pallas kernel when enabled, pair-indexed
     einsums otherwise (identical numerics, parity-tested). Returns
-    (tf_roi [T*O, S, S, 3], tp_roi [T*O, S, S, 1])."""
+    (tf_roi [T*O, S, S, 3], tp_roi [T*O, S, S, 1]).
+
+    dtype=float32 (default) keeps full-precision MXU contractions; bfloat16
+    is the scoring-path fast mode — half the HBM traffic and single-pass MXU
+    dots (f32 accumulation), feeding an encoder that is bf16 anyway."""
     if _pallas_enabled():
         out = roi_crop_pairs_pallas(frames, probs, yxhw, out_size)
         return out[..., :3], out[..., 3:]
-    return roi_crop_pairs_einsum(frames, probs, yxhw, out_size)
+    return roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
 
 
-def roi_crop_pairs_einsum(frames, probs, yxhw, out_size: int = ROI_S):
+def roi_crop_pairs_einsum(
+    frames, probs, yxhw, out_size: int = ROI_S, dtype=jnp.float32
+):
     """XLA path of the flagship pair crop (the default; see roi_crop_pairs)."""
     t, h, w, _ = frames.shape
     o = probs.shape[1]
@@ -248,15 +254,22 @@ def roi_crop_pairs_einsum(frames, probs, yxhw, out_size: int = ROI_S):
     from ivosw_tpu.ops.roi import _interp_matrix
 
     ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
-    ry = _interp_matrix(ymin, ymax, h, s).reshape(t, o, s, h)
-    rx = _interp_matrix(xmin, xmax, w, s).reshape(t, o, s, w)
-    precision = jax.lax.Precision.HIGHEST
+    ry = _interp_matrix(ymin, ymax, h, s).reshape(t, o, s, h).astype(dtype)
+    rx = _interp_matrix(xmin, xmax, w, s).reshape(t, o, s, w).astype(dtype)
+    frames = frames.astype(dtype)
+    probs = probs.astype(dtype)
+    # float32 → HIGHEST (the TPU default would silently drop multiplicands
+    # to bf16); explicit bf16 → single-pass MXU dots with f32 accumulation
+    precision = (
+        jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    kw = dict(precision=precision, preferred_element_type=jnp.float32)
     # frame crop: contract each frame ONCE per pair via pair-indexed
     # interpolation matrices — no [T*O, H, W, 3] broadcast in HBM
-    tmp_f = jnp.einsum("tosh,thwc->toswc", ry, frames, precision=precision)
-    tf_roi = jnp.einsum("toxw,toswc->tosxc", rx, tmp_f, precision=precision)
-    tmp_p = jnp.einsum("tosh,tohw->tosw", ry, probs, precision=precision)
-    tp_roi = jnp.einsum("toxw,tosw->tosx", rx, tmp_p, precision=precision)
+    tmp_f = jnp.einsum("tosh,thwc->toswc", ry, frames, **kw).astype(dtype)
+    tf_roi = jnp.einsum("toxw,toswc->tosxc", rx, tmp_f, **kw)
+    tmp_p = jnp.einsum("tosh,tohw->tosw", ry, probs, **kw).astype(dtype)
+    tp_roi = jnp.einsum("toxw,tosw->tosx", rx, tmp_p, **kw)
     return (
         tf_roi.reshape(t * o, s, s, 3),
         tp_roi.reshape(t * o, s, s, 1),

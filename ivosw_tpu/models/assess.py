@@ -146,7 +146,9 @@ def score_clip(
 
     tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
     yxhw = mask_to_yxhw(tm, scale=1.5)
-    tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, s)
+    # bf16 crop: the encoder consumes bf16 anyway; f32 contractions here
+    # would cost 6-pass HIGHEST MXU dots + double the HBM traffic
+    tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, s, dtype=jnp.bfloat16)
 
     model = AssessNet(dtype=jnp.bfloat16)
     q = model.apply(variables, tf_roi, tp_roi, train=False)
