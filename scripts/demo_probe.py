@@ -85,9 +85,12 @@ def probe_policies():
     for setting, method in (("wild", "random"), ("wild", "linspace"), ("oracle", "worst")):
         cfg = base_config()
         cfg.setting, cfg.method = setting, method
+        # explicit throwaway report dir: evaluate() defaults to the real
+        # results/ tree, and a stale probe summary there makes the demo
+        # pipeline skip that config's evaluation
         summary = evaluate(
             cfg, reg, adapter(reg), subset="val", max_nb_interactions=8,
-            vos_name="tapnet",
+            vos_name="tapnet", report_save_dir=f"/tmp/demo_probe/{setting}_{method}",
         )
         curve = [round(float(x), 3) for x in summary["curve"]["J_AND_F"][:-1]]
         print(f"{setting}/{method}: auc={summary['auc']:.4f} curve={curve}")
