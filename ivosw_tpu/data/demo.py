@@ -7,12 +7,20 @@ weights exist in this environment, so this module generates a synthetic
 registry engineered to reproduce that ordering *for the same reason it holds
 on DAVIS*: not every low-quality frame is worth annotating.
 
-Each clip contains two contiguous **hard bands** of frames whose object
-appearance is corrupted (texture destroyed + same-coloured distractor blobs).
-Segmentation quality there stays low even after direct annotation, and
-scribbles there propagate poorly. A min-quality policy ("worst") burns its
-interaction budget walking through the bands; a trained agent learns from the
-(quality curve, annotation counts) state to spend rounds where they pay off.
+Each clip has three frame populations with different annotation economics,
+the same heterogeneity that makes frame choice matter on DAVIS:
+
+- a contiguous **hard band** (true occlusion: the object takes the
+  background texture, plus same-coloured distractor blobs). Quality stays
+  low even after direct annotation and scribbles there propagate poorly —
+  a min-quality policy ("worst") burns its budget banging on the band;
+- a contiguous **churn window** where object colours random-walk frame to
+  frame. Matching-based propagation decays within a few frames of the
+  nearest anchor, so churn frames reward *several* annotations — a
+  uniform-spread policy ("linspace") under-allocates here (measured on the
+  churn-free variant: linspace was within noise of the best policy,
+  because one annotation per clean stretch is all a static scene needs);
+- **clean stretches**, where one annotation serves many frames.
 
 Clips are long relative to the interaction budget (48 frames vs 8 rounds at
 evaluation) so frame choice is genuinely scarce — on short clips every policy
@@ -33,7 +41,8 @@ from ivosw_tpu.data.registry import SequenceInfo, SequenceRegistry
 
 H, W = 48, 64
 NUM_FRAMES = 48
-HARD_LEN = 8  # per hard band; two bands per clip
+HARD_LEN = 8  # hard-band length
+CHURN_LEN = 12  # appearance-churn window length
 NUM_OBJECTS = 2
 TRAIN_SEQS = [f"dm-t{i}" for i in range(12)]
 VAL_SEQS = [f"dm-v{i}" for i in range(8)]
@@ -68,16 +77,31 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]
         0.0,
         1.0,
     )
-    # two disjoint hard bands, never touching the first/last frames
-    # (round-1 anchors); placement keeps >=4 clean frames between bands
-    s1 = int(rng.integers(2, 15))
-    s2 = int(rng.integers(s1 + HARD_LEN + 4, NUM_FRAMES - HARD_LEN - 2))
-    hard_starts = (s1, s2)
+    # one hard band + one churn window, disjoint, never touching the
+    # first/last frames (round-1 anchors), >=3 clean frames between them
+    if rng.random() < 0.5:
+        hard_start = int(rng.integers(2, 10))
+        churn_start = int(
+            rng.integers(hard_start + HARD_LEN + 3, NUM_FRAMES - CHURN_LEN - 2)
+        )
+    else:
+        churn_start = int(rng.integers(2, 10))
+        hard_start = int(
+            rng.integers(churn_start + CHURN_LEN + 3, NUM_FRAMES - HARD_LEN - 2)
+        )
+    hard_starts = (hard_start,)
+
+    # churn: per-object colour random walk — appearance decorrelates within
+    # a few frames, so propagation needs several anchors inside the window
+    churn_off = np.zeros((NUM_OBJECTS, 3), dtype=np.float32)
 
     for t in range(NUM_FRAMES):
         frame = base + rng.normal(0, 0.02, (H, W, 3)).astype(np.float32)
         ann = np.zeros((H, W), dtype=np.uint8)
-        hard = any(s <= t < s + HARD_LEN for s in hard_starts)
+        hard = hard_start <= t < hard_start + HARD_LEN
+        if churn_start <= t < churn_start + CHURN_LEN:
+            churn_off += rng.normal(0, 0.07, (NUM_OBJECTS, 3)).astype(np.float32)
+        colors_t = np.clip(colors + churn_off, 0.12, 1.0)
         for o in range(NUM_OBJECTS):
             cy = int(_reflect01(centers[o, 0] + vels[o, 0] * t) * (H - 1))
             cx = int(_reflect01(centers[o, 1] + vels[o, 1] * t) * (W - 1))
@@ -85,7 +109,7 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]
             y0, y1 = max(0, cy - s // 2), min(H, cy + s // 2)
             x0, x1 = max(0, cx - s // 2), min(W, cx + s // 2)
             if not hard:
-                frame[y0:y1, x0:x1] = colors[o] + rng.normal(
+                frame[y0:y1, x0:x1] = colors_t[o] + rng.normal(
                     0, 0.03, (y1 - y0, x1 - x0, 3)
                 )
             # hard band: true occlusion — the object keeps the clip's
@@ -103,7 +127,7 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]
                 frame[dy : dy + 8, dx : dx + 8][patch == 0] = colors[o]
         frames[t] = np.clip(frame, 0.0, 1.0)
         anns[t] = ann
-    return frames, anns, hard_starts
+    return frames, anns, hard_starts, churn_start
 
 
 def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistry:
@@ -119,7 +143,7 @@ def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistr
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xBEEF]))
     for i in range(n_clips):
         name = f"dmx-{i:04d}"
-        frames, anns, hard_starts_i = _make_clip(rng)
+        frames, anns, _, _ = _make_clip(rng)
         reg.sequences[name] = SequenceInfo(
             name=name,
             set="train",
@@ -135,18 +159,19 @@ def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistr
 def demo_registry(seed: int = 0) -> SequenceRegistry:
     """Train+val registry of hard-band clips (fully determined by seed).
 
-    Returns a registry whose ``hard_starts`` attribute maps sequence name →
-    tuple of first frames of its hard bands (diagnostics/tests only — the
-    models never see it)."""
+    Returns a registry whose ``hard_starts`` / ``churn_starts`` attributes
+    map sequence name → tuple of hard-band starts / churn-window start
+    (diagnostics/tests only — the models never see them)."""
     reg = SequenceRegistry()
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xDE]))
     hard_starts = {}
+    churn_starts = {}
     # 3 scribbles per sequence like DAVIS: bootstrap frames land at t/6,
     # t/2, 5t/6, giving the RL stages three distinct training windows per
     # clip and 30-epoch reward baselines exactly 30 records per parity group
     for names, split, n_scb in ((TRAIN_SEQS, "train", 3), (VAL_SEQS, "val", 3)):
         for name in names:
-            frames, anns, hard_starts_i = _make_clip(rng)
+            frames, anns, hard_starts_i, churn_i = _make_clip(rng)
             reg.sequences[name] = SequenceInfo(
                 name=name,
                 set=split,
@@ -157,5 +182,7 @@ def demo_registry(seed: int = 0) -> SequenceRegistry:
             )
             reg._synthetic[name] = (frames, anns)
             hard_starts[name] = hard_starts_i
+            churn_starts[name] = churn_i
     reg.hard_starts = hard_starts
+    reg.churn_starts = churn_starts
     return reg

@@ -14,7 +14,8 @@ Stages (resumable; a stage is skipped when its artifact already exists):
     assess   -> weights_demo/assess_net.orbax      (QA regression)
     reward   -> train_demo/reward.csv              (30-epoch random baseline)
     pretrain -> train_demo/pretrain.csv            (10-epoch experience)
-    agent    -> weights_demo/agent.orbax           (5-epoch Q-learning)
+    agent    -> weights_demo/agent.orbax           (12-epoch oracle Q-learning)
+    agent_wild -> weights_demo/wild/agent.orbax    (wild-state fine-tune)
     evaluate -> results/tapnet/{setting}/synthetic/{method}/summary.json
 
 Usage: python scripts/demo_ordering.py [stage ...] [--force]
@@ -51,8 +52,10 @@ def base_config():
 
     cfg = Config(seed=0, vos="tapnet", dataset="synthetic", ckpt_dir=CKPT_DIR)
     cfg.data.subset = "train"
-    # 1/3 of the 48-frame clips, mirroring the reference's 25-of-~70 ratio
-    cfg.data.len_subseq = 16
+    # half the 48-frame clips: 5 rounds on 24 frames puts training in the
+    # same scarce-budget regime as evaluation (8 rounds on 48), and a window
+    # almost always spans a hard band plus clean stretches
+    cfg.data.len_subseq = 24
     cfg.agent.save_result_dir = TRAIN_DIR
     cfg.davis_interactive.max_nb_interactions = 5
     # from-scratch QA training needs a real learning rate (the reference's
@@ -95,13 +98,23 @@ def stage_tapnet(reg, force):
 
 
 def stage_qadata(reg, force):
-    if os.path.isdir(QA_DIR) and os.listdir(QA_DIR) and not force:
-        return log.info(f"skip qadata ({QA_DIR} populated)")
     from ivosw_tpu.train import generate_qa_data
 
     pool = training_pool()
     cfg = generate_qa_data.configure(base_config())
-    samples = [(seq, 1) for seq in pool.subset("train")[:24]]
+    # the dump layout is per-sequence (interaction-*/scribble-*/{seq}/...),
+    # so the stage resumes sequence-by-sequence: QA-regressor correlation on
+    # unseen clips scales with dump diversity (64 seqs -> corr 0.70; the
+    # full pool is the budget ceiling)
+    done = set()
+    probe = os.path.join(QA_DIR, "interaction-1", "scribble-1")
+    if os.path.isdir(probe) and not force:
+        done = set(os.listdir(probe))
+    samples = [
+        (seq, 1) for seq in pool.subset("train") if seq not in done
+    ]
+    if not samples:
+        return log.info(f"skip qadata ({QA_DIR} fully populated)")
     generate_qa_data.run(
         cfg, registry=pool, adapter=adapter(pool), samples=samples,
         save_result_dir=QA_DIR,
@@ -115,8 +128,10 @@ def stage_assess(reg, force):
     from ivosw_tpu.train import train_assess
 
     cfg = base_config()
+    # 3 epochs over the full 160-clip dump pool: clip diversity moves
+    # held-out correlation more than extra passes over fewer clips
     train_assess.run(
-        cfg, registry=training_pool(), save_result_dir=QA_DIR, num_epochs=4
+        cfg, registry=training_pool(), save_result_dir=QA_DIR, num_epochs=3
     )
 
 
@@ -146,8 +161,63 @@ def stage_agent(reg, force):
         return log.info(f"skip agent ({out} exists)")
     from ivosw_tpu.train import train_agent
 
-    cfg = train_agent.configure(base_config())
+    cfg = base_config()
+    # demo-scale divergence from the reference's 5 epochs: 36 episodes/epoch
+    # (12 seqs x 3 scribbles) is far less experience per epoch than DAVIS
+    # train. 12 epochs measured best; 20 over-trains (oracle AUC 0.781 vs
+    # 0.792 on the churn-free registry)
+    cfg.num_epochs = 12
+    cfg = train_agent.configure(cfg)
     train_agent.run(cfg, registry=reg, adapter=adapter(reg))
+
+
+def stage_agent_wild(reg, force):
+    """Fine-tune the oracle-trained agent on AssessNet-predicted states.
+
+    The reference trains its agent on oracle (true-J&F) states only and
+    evaluates it in the wild; with a demo-scale QA model (held-out corr
+    ~0.7 vs the reference's ImageNet-pretrained AssessNet) that state
+    distribution shift costs more than it does at DAVIS scale. Extension
+    (documented in results/README.md): continue the same Q-learning loop
+    with setting=wild so the policy net trains on the states it will be
+    evaluated on — rewards still come from ground-truth J&F via the same
+    baseline table. Oracle evaluation keeps the purely oracle-trained agent.
+    """
+    wild_dir = os.path.join(CKPT_DIR, "wild")
+    if os.path.exists(os.path.join(wild_dir, "agent.orbax")) and not force:
+        return log.info(f"skip agent_wild ({wild_dir} exists)")
+    from ivosw_tpu.interact.recommend import RewardTable
+    from ivosw_tpu.models.agent import Agent
+    from ivosw_tpu.train.rollout import run_interactive_phase
+    from ivosw_tpu.utils.checkpoint import (
+        load_assess_variables_ckpt,
+        restore_agent,
+        save_agent_checkpoint,
+    )
+
+    cfg = base_config()
+    cfg.phase = "train"
+    cfg.seed = 2018
+    cfg.num_epochs = 8
+    cfg.setting, cfg.method = "wild", "ours"
+    agent = Agent(cfg)
+    assert restore_agent(agent, CKPT_DIR), "oracle agent checkpoint missing"
+    assess_variables = load_assess_variables_ckpt(CKPT_DIR)
+    assert assess_variables is not None, "assess checkpoint missing"
+    agent.memory_pool.load_from_csv(
+        os.path.join(TRAIN_DIR, cfg.agent.pretrain_csv),
+        report_save_dir=TRAIN_DIR,
+        sample_th=cfg.agent.sample_th,
+    )
+    reward_table = RewardTable.from_csv(
+        os.path.join(TRAIN_DIR, cfg.agent.reward_csv)
+    )
+    run_interactive_phase(
+        cfg, reg, adapter(reg), agent,
+        reward_table=reward_table, subset="train",
+        assess_variables=assess_variables,
+    )
+    save_agent_checkpoint(agent, wild_dir)
 
 
 def stage_evaluate(reg, force):
@@ -175,7 +245,16 @@ def stage_evaluate(reg, force):
         assess_variables = None
         if method == "ours":
             agent = Agent(cfg)
-            assert restore_agent(agent, CKPT_DIR), "agent checkpoint missing"
+            # wild evaluation uses the wild-state fine-tuned agent when the
+            # stage has produced one (see stage_agent_wild); oracle always
+            # uses the reference-style oracle-trained agent
+            ckpt = CKPT_DIR
+            wild_dir = os.path.join(CKPT_DIR, "wild")
+            if setting == "wild" and os.path.exists(
+                os.path.join(wild_dir, "agent.orbax")
+            ):
+                ckpt = wild_dir
+            assert restore_agent(agent, ckpt), "agent checkpoint missing"
         if setting == "wild" and method in ("ours", "worst"):
             assess_variables = load_assess_variables_ckpt(CKPT_DIR)
             assert assess_variables is not None, "assess checkpoint missing"
@@ -206,6 +285,7 @@ STAGES = {
     "reward": stage_reward,
     "pretrain": stage_pretrain,
     "agent": stage_agent,
+    "agent_wild": stage_agent_wild,
     "evaluate": stage_evaluate,
 }
 
@@ -213,7 +293,12 @@ STAGES = {
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     force = "--force" in argv
-    stages = [a for a in argv if a in STAGES] or list(STAGES)
+    # agent_wild is opt-in: measured at demo scale it DEGRADES wild/ours
+    # (0.7810 vs 0.7836 with the oracle-trained agent) — Q-updates against
+    # corr~0.7 predicted states drift the policy more than the train/eval
+    # state mismatch costs. Kept as an experiment hook.
+    default = [s for s in STAGES if s != "agent_wild"]
+    stages = [a for a in argv if a in STAGES] or default
     enable_compile_cache()
     reg = registry()
     for name in stages:
