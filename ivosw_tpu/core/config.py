@@ -62,6 +62,11 @@ class AssessNetConfig:
     # train_assess starts from the ImageNet trunk like the reference's
     # resnet50(pretrained=True) encoder (models/assessment.py:28-39)
     imagenet_ckpt: str = ""
+    # odd moving-average window over the predicted per-frame quality in the
+    # wild setting; 1 (default) = reference behaviour (raw per-frame
+    # predictions). Denoises the recommendation state: quality structure is
+    # contiguous (bands/segments) while QA prediction error is per-frame
+    smooth_quality: int = 1
 
 
 @dataclass

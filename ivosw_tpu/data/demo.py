@@ -10,10 +10,10 @@ on DAVIS*: not every low-quality frame is worth annotating.
 Each clip has three frame populations with different annotation economics,
 the same heterogeneity that makes frame choice matter on DAVIS:
 
-- a contiguous **hard band** (true occlusion: the object takes the
+- two contiguous **hard bands** (true occlusion: the object takes the
   background texture, plus same-coloured distractor blobs). Quality stays
   low even after direct annotation and scribbles there propagate poorly —
-  a min-quality policy ("worst") burns its budget banging on the band;
+  a min-quality policy ("worst") burns its budget banging on the bands;
 - a contiguous **churn window** where object colours random-walk frame to
   frame. Matching-based propagation decays within a few frames of the
   nearest anchor, so churn frames reward *several* annotations — a
@@ -41,7 +41,7 @@ from ivosw_tpu.data.registry import SequenceInfo, SequenceRegistry
 
 H, W = 48, 64
 NUM_FRAMES = 48
-HARD_LEN = 8  # hard-band length
+HARD_LEN = 8  # per hard band; two bands per clip
 CHURN_LEN = 12  # appearance-churn window length
 NUM_OBJECTS = 2
 TRAIN_SEQS = [f"dm-t{i}" for i in range(12)]
@@ -77,19 +77,27 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]
         0.0,
         1.0,
     )
-    # one hard band + one churn window, disjoint, never touching the
-    # first/last frames (round-1 anchors), >=3 clean frames between them
-    if rng.random() < 0.5:
-        hard_start = int(rng.integers(2, 10))
-        churn_start = int(
-            rng.integers(hard_start + HARD_LEN + 3, NUM_FRAMES - CHURN_LEN - 2)
-        )
-    else:
-        churn_start = int(rng.integers(2, 10))
-        hard_start = int(
-            rng.integers(churn_start + CHURN_LEN + 3, NUM_FRAMES - HARD_LEN - 2)
-        )
-    hard_starts = (hard_start,)
+    # segment layout: two hard bands + one churn window in random order,
+    # >=3 clean frames between structured segments and the clip ends
+    # (the first/last frames are round-1 anchors). One band alone is too
+    # easy (round-1 J&F 0.83, policy spread 0.001 — measured); two bands
+    # put 1/3 of the budget-wasting frames back.
+    segs = [("hard", HARD_LEN), ("hard", HARD_LEN), ("churn", CHURN_LEN)]
+    order = [int(i) for i in rng.permutation(3)]
+    gap = 3
+    slack = NUM_FRAMES - 4 - (2 * HARD_LEN + CHURN_LEN) - 2 * gap
+    extras = rng.multinomial(slack, [0.25] * 4)
+    pos = 2 + int(extras[0])
+    hard_list = []
+    churn_start = 0
+    for idx, extra in zip(order, extras[1:]):
+        kind, ln = segs[idx]
+        if kind == "hard":
+            hard_list.append(pos)
+        else:
+            churn_start = pos
+        pos += ln + gap + int(extra)
+    hard_starts = tuple(sorted(hard_list))
 
     # churn: per-object colour random walk — appearance decorrelates within
     # a few frames, so propagation needs several anchors inside the window
@@ -98,7 +106,7 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]
     for t in range(NUM_FRAMES):
         frame = base + rng.normal(0, 0.02, (H, W, 3)).astype(np.float32)
         ann = np.zeros((H, W), dtype=np.uint8)
-        hard = hard_start <= t < hard_start + HARD_LEN
+        hard = any(s <= t < s + HARD_LEN for s in hard_starts)
         if churn_start <= t < churn_start + CHURN_LEN:
             churn_off += rng.normal(0, 0.07, (NUM_OBJECTS, 3)).astype(np.float32)
         colors_t = np.clip(colors + churn_off, 0.12, 1.0)

@@ -225,6 +225,24 @@ def predict_clip_quality(
     return scores.mean(axis=1), scores
 
 
+def smooth_clip_quality(quality: np.ndarray, k: int) -> np.ndarray:
+    """Odd-window moving average with edge replication; k<=1 is identity.
+
+    State-denoising option for the wild setting (cfg.assess_net.
+    smooth_quality; default 1 = reference behaviour): per-frame QA
+    prediction error is roughly independent across frames while true
+    quality structure is contiguous, so a short box filter raises the
+    rank fidelity of the recommendation state."""
+    if k <= 1:
+        return quality
+    if k % 2 == 0:
+        k += 1
+    pad = k // 2
+    padded = np.pad(quality.astype(np.float32), pad, mode="edge")
+    kernel = np.full((k,), 1.0 / k, dtype=np.float32)
+    return np.convolve(padded, kernel, mode="valid")
+
+
 # ------------------------------------------------------------- recommend --
 def recommend_frame(
     cfg,
@@ -278,6 +296,9 @@ def recommend_frame(
         if method in ("worst", "ours"):
             pred_quality, _ = predict_clip_quality(
                 assess_variables, all_F, all_P, n_objects
+            )
+            pred_quality = smooth_clip_quality(
+                pred_quality, int(getattr(cfg.assess_net, "smooth_quality", 1))
             )
             if mask_quality is not None:
                 mask_quality[:] = pred_quality

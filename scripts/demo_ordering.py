@@ -61,6 +61,9 @@ def base_config():
     # from-scratch QA training needs a real learning rate (the reference's
     # 5e-6 assumes an ImageNet-pretrained trunk)
     cfg.assess_net.lr = 2e-4
+    # denoise the wild-state quality curve (demo-scale QA model: held-out
+    # per-frame corr ~0.7 vs the reference's pretrained AssessNet)
+    cfg.assess_net.smooth_quality = 3
     return cfg
 
 

@@ -172,3 +172,22 @@ def test_goal_only_reward_eq3():
     # strict reference mode requires exactly N baselines
     with pytest.raises(AssertionError):
         goal_only_reward("seq", 3, 1, False, iou_new, table, expected_count=30)
+
+
+def test_smooth_clip_quality():
+    from ivosw_tpu.interact.recommend import smooth_clip_quality
+
+    q = np.array([1.0, 1.0, 0.0, 1.0, 1.0], dtype=np.float32)
+    # identity below window 2 / reference default
+    np.testing.assert_array_equal(smooth_clip_quality(q, 1), q)
+    out = smooth_clip_quality(q, 3)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(out, [1, 2 / 3, 2 / 3, 2 / 3, 1], atol=1e-6)
+    # even windows round up to odd (length must be preserved)
+    assert smooth_clip_quality(q, 4).shape == q.shape
+    # contiguous structure survives: a low band stays the argmin region
+    band = np.ones(20, dtype=np.float32)
+    band[8:13] = 0.2
+    noisy = band + np.random.default_rng(0).normal(0, 0.15, 20).astype(np.float32)
+    sm = smooth_clip_quality(noisy, 5)
+    assert 8 <= int(np.argmin(sm)) < 13
