@@ -23,7 +23,6 @@ Usage: python scripts/demo_ordering.py [stage ...] [--force]
 
 from __future__ import annotations
 
-import copy
 import json
 import os
 import sys
@@ -224,11 +223,8 @@ def stage_agent_wild(reg, force):
 
 
 def stage_evaluate(reg, force):
-    import jax
-
     from ivosw_tpu.eval.eval_agent import evaluate
     from ivosw_tpu.models.agent import Agent
-    from ivosw_tpu.models.assess import init_assess_variables
     from ivosw_tpu.utils.checkpoint import (
         load_assess_variables_ckpt,
         restore_agent,
