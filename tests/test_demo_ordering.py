@@ -77,3 +77,4 @@ def test_demo_registry_is_deterministic():
             a.load_annotations(seq), b.load_annotations(seq)
         )
     assert a.hard_starts == b.hard_starts
+    assert a.churn_starts == b.churn_starts
