@@ -61,8 +61,12 @@ def _reflect01(x: float) -> float:
     return 2.0 - x if x > 1.0 else x
 
 
-def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]:
-    """One clip: textured background + drifting objects + two hard bands."""
+def _make_clip(
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray, tuple, int]:
+    """One clip: textured background + drifting objects + two hard bands.
+
+    Returns (frames, annotations, hard_band_starts, churn_start)."""
     frames = np.zeros((NUM_FRAMES, H, W, 3), dtype=np.float32)
     anns = np.zeros((NUM_FRAMES, H, W), dtype=np.uint8)
     base = rng.random((H, W, 3)).astype(np.float32) * 0.3
@@ -78,10 +82,13 @@ def _make_clip(rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray, tuple]
         1.0,
     )
     # segment layout: two hard bands + one churn window in random order,
-    # >=3 clean frames between structured segments and the clip ends
-    # (the first/last frames are round-1 anchors). One band alone is too
-    # easy (round-1 J&F 0.83, policy spread 0.001 — measured); two bands
-    # put 1/3 of the budget-wasting frames back.
+    # >=3 clean frames between structured segments and >=2 at the clip
+    # ends. Session-bootstrap scribbles land at t/6, t/2, 5t/6 (scribble
+    # index over num_scribbles=3, session.py::_start_sample) and MAY fall
+    # inside a band/churn window — intentional: a round-1 anchor wasted on
+    # a hard band is part of what makes frame choice matter. One band
+    # alone is too easy (round-1 J&F 0.83, policy spread 0.001 —
+    # measured); two bands put 1/3 of the budget-wasting frames back.
     segs = [("hard", HARD_LEN), ("hard", HARD_LEN), ("churn", CHURN_LEN)]
     order = [int(i) for i in rng.permutation(3)]
     gap = 3

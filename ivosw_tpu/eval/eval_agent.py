@@ -42,6 +42,28 @@ def _sample_rng(seed: int, sequence: str, scribble_idx: int) -> np.random.Genera
     )
 
 
+def _default_report_dir(vos_name: str, cfg: Config, overwrite: bool) -> str:
+    """The reference's results-tree layout, guarded against silent clobber.
+
+    ``evaluate()`` callers that do not pass an explicit ``report_save_dir``
+    land in the COMMITTED ``results/`` tree; a probe or ad-hoc run that
+    silently overwrites (or, with skip-if-exists pipelines, silently READS)
+    those artifacts has already cost an eval round (CLAUDE.md). Refuse to
+    default onto an existing summary.json unless ``overwrite=True``.
+    """
+    report_save_dir = os.path.join(
+        "results", vos_name, cfg.setting, cfg.dataset, cfg.method
+    )
+    summary = os.path.join(report_save_dir, "summary.json")
+    if os.path.exists(summary) and not overwrite:
+        raise FileExistsError(
+            f"refusing to overwrite committed artifact {summary}: pass an "
+            f"explicit report_save_dir (e.g. under /tmp for probes) or "
+            f"overwrite=True (CLI: --force)"
+        )
+    return report_save_dir
+
+
 def evaluate(
     cfg: Config,
     registry,
@@ -55,6 +77,7 @@ def evaluate(
     log=None,
     vos_name: Optional[str] = None,
     samples=None,
+    overwrite: bool = False,
 ):
     """Run the full interactive evaluation; returns the summary dict.
 
@@ -70,9 +93,7 @@ def evaluate(
         allow_repeat = 0
 
     if report_save_dir is None:
-        report_save_dir = os.path.join(
-            "results", vos_name, cfg.setting, cfg.dataset, cfg.method
-        )
+        report_save_dir = _default_report_dir(vos_name, cfg, overwrite)
     os.makedirs(report_save_dir, exist_ok=True)
 
     quality_meter = AverageMeter()
@@ -221,6 +242,7 @@ def evaluate_dp(
     report_save_dir: Optional[str] = None,
     vos_name: Optional[str] = None,
     log=None,
+    overwrite: bool = False,
 ):
     """Data-parallel interactive evaluation: sequences sharded over devices.
 
@@ -244,9 +266,7 @@ def evaluate_dp(
     vos_name = vos_name or cfg.vos
     metric = cfg.davis_interactive.metric
     if report_save_dir is None:
-        report_save_dir = os.path.join(
-            "results", vos_name, cfg.setting, cfg.dataset, cfg.method
-        )
+        report_save_dir = _default_report_dir(vos_name, cfg, overwrite)
     os.makedirs(report_save_dir, exist_ok=True)
 
     samples = [
@@ -292,7 +312,7 @@ def evaluate_dp(
     return summary
 
 
-def build_and_evaluate(cfg: Config, overrides_done: bool = True):
+def build_and_evaluate(cfg: Config, overrides_done: bool = True, overwrite: bool = False):
     """Config-driven wiring: registry + backbone + (agent, assess_net)."""
     from ivosw_tpu.data.registry import registry_from_config
     from ivosw_tpu.eval.backbones import build_backbone
@@ -335,6 +355,7 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
             assess_variables=assess_variables,
             max_nb_interactions=cfg.eval_rounds,
             vos_name=cfg.vos,
+            overwrite=overwrite,
         )
     return evaluate(
         cfg,
@@ -344,6 +365,7 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True):
         assess_variables=assess_variables,
         max_nb_interactions=cfg.eval_rounds,
         vos_name=cfg.vos,
+        overwrite=overwrite,
     )
 
 
@@ -360,7 +382,7 @@ def main(argv=None):
     overrides = [a for a in argv if "=" in a]
     cfg = load_config("configs/config.yaml", overrides)
     cfg.phase = "eval"
-    return build_and_evaluate(cfg)
+    return build_and_evaluate(cfg, overwrite="--force" in argv)
 
 
 if __name__ == "__main__":

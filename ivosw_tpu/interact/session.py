@@ -21,7 +21,14 @@ Semantics kept from the reference usage:
   extra point, so driver code that slices ``curve[:-1]``
   (``eval_agent_atnet.py:352-360``) reproduces the reference exactly;
 - a ``connector.service.robot`` shim keeps the reference's robot-tuning
-  pattern (``sess.connector.service.robot.min_nb_nodes = n``) working.
+  pattern (``sess.connector.service.robot.min_nb_nodes = n``) working;
+- when ``report_save_dir`` is set, a ``session_report.csv`` is written in
+  the davisinteractive report layout (one row per (sequence, scribble_idx,
+  interaction, object_id, frame) with per-object ``jaccard``/``contour``
+  columns — the package's ``EvaluationService`` REPORT_COLUMNS), so external
+  tooling written against the reference's report CSVs reads it unmodified.
+  The only divergence is the deterministic filename (davisinteractive names
+  the file after the session start timestamp).
 
 Round-1 scribbles: DAVIS ships human scribble JSON files
 (``Scribbles/<seq>/00N.json``); when present they are used, otherwise the
@@ -46,7 +53,12 @@ from ivosw_tpu.data.scribbles import (
     merge_scribbles,
 )
 from ivosw_tpu.interact.robot import ScribbleRobot
-from ivosw_tpu.ops.metrics import auc_from_curve, sequence_metric
+from ivosw_tpu.ops.metrics import (
+    auc_from_curve,
+    batched_f_measure,
+    batched_jaccard,
+    sequence_metric,
+)
 
 
 class InteractiveSession:
@@ -93,6 +105,10 @@ class InteractiveSession:
         # round -> list of per-sample mean metric values
         self._curve_acc: Dict[int, List[float]] = {}
         self._report_rows: List[Dict] = []
+        # davisinteractive-layout detail rows (per object × frame); only
+        # accumulated when a report CSV will actually be written
+        self._detail_rows: List[Dict] = []
+        self._session_id = time.strftime("%Y%m%d_%H%M%S")
         self._t_start = time.time()
 
     # ---------------------------------------------------------------- ctx --
@@ -132,6 +148,7 @@ class InteractiveSession:
         self._interaction = 0
 
         self._sample_t_start = time.time()
+        self._interaction_t_start = self._sample_t_start
         scrib = self._load_human_scribble(sequence, scribble_idx)
         if scrib is None:
             t = info.num_frames
@@ -177,7 +194,28 @@ class InteractiveSession:
     ) -> None:
         sequence, scribble_idx = self.samples[self._sample_idx]
         pred = np.asarray(pred_masks).astype(np.int32)
-        per_frame = sequence_metric(self.metric, self._gt, pred, self._nb_objects)
+        detail = self.report_save_dir is not None
+        if detail or self.metric == "J_AND_F":
+            # per-object [T, O] arrays; the scalar curve derives from them so
+            # J and F are never computed twice for one submission
+            jac = batched_jaccard(
+                self._gt, pred, average_over_objects=False,
+                nb_objects=self._nb_objects,
+            )
+            con = batched_f_measure(
+                self._gt, pred, average_over_objects=False,
+                nb_objects=self._nb_objects,
+            )
+            if self.metric == "J":
+                per_frame = jac.mean(axis=1)
+            elif self.metric == "F":
+                per_frame = con.mean(axis=1)
+            else:
+                per_frame = (0.5 * jac + 0.5 * con).mean(axis=1)
+        else:
+            per_frame = sequence_metric(
+                self.metric, self._gt, pred, self._nb_objects
+            )
         self._interaction += 1
         round_idx = self._interaction
         self._curve_acc.setdefault(round_idx, []).append(float(per_frame.mean()))
@@ -191,6 +229,27 @@ class InteractiveSession:
                 "timestamp": time.time() - self._t_start,
             }
         )
+        if detail:
+            # davisinteractive EvaluationService report rows: one per
+            # (object, frame), interaction timing in seconds
+            timing = time.time() - self._interaction_t_start
+            t_frames = jac.shape[0]
+            for obj in range(self._nb_objects):
+                for f in range(t_frames):
+                    self._detail_rows.append(
+                        {
+                            "session_id": self._session_id,
+                            "sequence": sequence,
+                            "scribble_idx": scribble_idx,
+                            "interaction": round_idx,
+                            "object_id": obj + 1,
+                            "frame": f,
+                            "jaccard": float(jac[f, obj]),
+                            "contour": float(con[f, obj]),
+                            "timing": timing,
+                        }
+                    )
+        self._interaction_t_start = time.time()
 
         # max_time semantics (davisinteractive): the per-sample interaction
         # budget is max_time seconds per object; once exhausted, the sample
@@ -244,14 +303,28 @@ class InteractiveSession:
     def get_report(self) -> List[Dict]:
         return list(self._report_rows)
 
+    # davisinteractive's EvaluationService report schema — external tooling
+    # written against the reference's report CSVs keys on these columns
+    REPORT_COLUMNS = [
+        "session_id",
+        "sequence",
+        "scribble_idx",
+        "interaction",
+        "object_id",
+        "frame",
+        "jaccard",
+        "contour",
+        "timing",
+    ]
+
     def _write_report(self):
         os.makedirs(self.report_save_dir, exist_ok=True)
         import csv
 
         path = os.path.join(self.report_save_dir, "session_report.csv")
-        if not self._report_rows:
+        if not self._detail_rows:
             return
         with open(path, "w", newline="") as fp:
-            writer = csv.DictWriter(fp, fieldnames=list(self._report_rows[0].keys()))
+            writer = csv.DictWriter(fp, fieldnames=self.REPORT_COLUMNS)
             writer.writeheader()
-            writer.writerows(self._report_rows)
+            writer.writerows(self._detail_rows)

@@ -98,6 +98,12 @@ def assess_forward(
 
     tf: [B, H, W, 3] frames in [0, 1]; tp: [B, H, W] prob maps.
     Returns [B, 1] quality predictions (and new batch_stats when train=True).
+
+    Precision note: this (training) path crops in f32 while the inference
+    scoring path (:func:`score_clip`) crops in bf16 — a deliberate asymmetry
+    (full-precision gradients vs half the HBM traffic at eval). The inputs
+    are cast to bf16 inside the net either way, so the train/inference
+    input mismatch is one rounding step of the ROI interpolation.
     """
     tm = (tp > 0.5).astype(jnp.float32)
     tb = mask_to_yxhw(tm, scale=1.5)

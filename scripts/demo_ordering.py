@@ -99,17 +99,49 @@ def stage_tapnet(reg, force):
     )
 
 
+def _qa_registry_stamp():
+    """Fingerprint of the generator config feeding the QA dumps — stale
+    dumps from an earlier registry design reuse the same dmx-NNNN names,
+    so resume-by-existence alone would silently mix old prob maps with new
+    labels (cost one confusing eval round)."""
+    from ivosw_tpu.data import demo
+
+    return {
+        "generator": "demo_training_registry",
+        "n_clips": 160,
+        "seed": 1,
+        "clip": [demo.NUM_FRAMES, demo.H, demo.W, demo.NUM_OBJECTS],
+        "max_rounds": base_config().davis_interactive.max_nb_interactions,
+    }
+
+
 def stage_qadata(reg, force):
     from ivosw_tpu.train import generate_qa_data
 
     pool = training_pool()
     cfg = generate_qa_data.configure(base_config())
+    stamp_path = os.path.join(QA_DIR, "registry_stamp.json")
+    stamp = _qa_registry_stamp()
+    if os.path.isdir(QA_DIR) and not force:
+        on_disk = None
+        if os.path.exists(stamp_path):
+            with open(stamp_path) as fp:
+                on_disk = json.load(fp)
+        if on_disk != stamp:
+            raise SystemExit(
+                f"{QA_DIR} holds dumps from a different registry config "
+                f"({on_disk} != {stamp}); delete the directory or rerun "
+                f"with --force to regenerate"
+            )
     # the dump layout is per-sequence (interaction-*/scribble-*/{seq}/...),
     # so the stage resumes sequence-by-sequence: QA-regressor correlation on
     # unseen clips scales with dump diversity (64 seqs -> corr 0.70; the
-    # full pool is the budget ceiling)
+    # full pool is the budget ceiling). A sequence counts as done only when
+    # its LAST interaction dir exists — a run killed mid-sequence leaves
+    # interaction-1 populated and must be redone, not skipped forever.
     done = set()
-    probe = os.path.join(QA_DIR, "interaction-1", "scribble-1")
+    last_round = cfg.davis_interactive.max_nb_interactions
+    probe = os.path.join(QA_DIR, f"interaction-{last_round}", "scribble-1")
     if os.path.isdir(probe) and not force:
         done = set(os.listdir(probe))
     samples = [
@@ -117,6 +149,9 @@ def stage_qadata(reg, force):
     ]
     if not samples:
         return log.info(f"skip qadata ({QA_DIR} fully populated)")
+    os.makedirs(QA_DIR, exist_ok=True)
+    with open(stamp_path, "w") as fp:
+        json.dump(stamp, fp)
     generate_qa_data.run(
         cfg, registry=pool, adapter=adapter(pool), samples=samples,
         save_result_dir=QA_DIR,

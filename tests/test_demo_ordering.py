@@ -18,9 +18,14 @@ RESULTS = os.path.join(
     "results",
     "tapnet",
 )
-# ordering can legitimately wobble by a hair across jax/cv2 versions when the
-# artifacts are regenerated; the demonstration requires a real margin though
-MARGIN = 0.0
+# the demonstration requires a real margin, not a 1e-9 tie-break: committed
+# gaps are 0.0023-0.0073 AUC, so 0.002 guards "ours actually wins" while
+# leaving room for the hair-level wobble regeneration across jax/cv2
+# versions can introduce
+MARGIN = 0.002
+# oracle's committed gap (0.0045) sits inside the measured ±0.004 noise band
+# for saturated variants; guard ordering-only there
+ORACLE_MARGIN = 0.0
 
 
 def _auc(setting: str, method: str) -> float:
@@ -43,7 +48,7 @@ def test_wild_ours_beats_every_baseline():
 
 
 def test_oracle_ours_beats_worst():
-    assert _auc("oracle", "ours") > _auc("oracle", "worst") + MARGIN
+    assert _auc("oracle", "ours") > _auc("oracle", "worst") + ORACLE_MARGIN
 
 
 def test_curves_are_sane():

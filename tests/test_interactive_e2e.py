@@ -104,6 +104,83 @@ def test_eval_driver_all_methods(registry, tmp_path, setting, method):
     assert 0.2 < on_disk["auc"] <= 1.0
 
 
+def test_session_report_davisinteractive_schema(registry, tmp_path):
+    """session_report.csv column parity with the davisinteractive package's
+    EvaluationService report (one row per object×frame, jaccard+contour)."""
+    import csv
+
+    adapter = FakeVOS(registry, max_quality=0.85)
+    out = str(tmp_path / "report")
+    with InteractiveSession(
+        registry, subset="val", max_nb_interactions=2, seed=0, report_save_dir=out
+    ) as sess:
+        sess.samples = [("alpha", 1)]
+        while sess.next():
+            sequence, scribbles, first = sess.get_scribbles(only_last=False)
+            af = annotated_frames(sess.sample_last_scribble)
+            if first:
+                info = registry.info(sequence)
+                state = adapter.begin_sequence(
+                    registry.load_images(sequence), info.num_objects, sequence=sequence
+                )
+                n_inter = 1
+            else:
+                n_inter += 1
+            masks, probs, state = adapter.segment(state, scribbles, af[-1], n_inter)
+            sess.submit_masks(masks)
+        summary = sess.get_global_summary()
+
+    with open(os.path.join(out, "session_report.csv")) as fp:
+        rows = list(csv.DictReader(fp))
+    assert list(rows[0].keys()) == InteractiveSession.REPORT_COLUMNS
+    info = registry.info("alpha")
+    # 2 interactions × T frames × O objects
+    assert len(rows) == 2 * info.num_frames * info.num_objects
+    assert {int(r["object_id"]) for r in rows} == {1, 2}
+    assert {int(r["interaction"]) for r in rows} == {1, 2}
+    assert {int(r["frame"]) for r in rows} == set(range(info.num_frames))
+    for r in rows:
+        assert 0.0 <= float(r["jaccard"]) <= 1.0
+        assert 0.0 <= float(r["contour"]) <= 1.0
+        assert float(r["timing"]) >= 0.0
+    # the summary curve must equal the per-row mean of 0.5(J+F) per round
+    round1 = [r for r in rows if int(r["interaction"]) == 1]
+    mean1 = np.mean(
+        [0.5 * (float(r["jaccard"]) + float(r["contour"])) for r in round1]
+    )
+    assert summary["curve"]["J_AND_F"][0] == pytest.approx(mean1)
+
+
+def test_evaluate_refuses_to_clobber_default_results_tree(registry, tmp_path, monkeypatch):
+    """Defaulted report_save_dir lands in the committed results/ tree; an
+    existing summary.json there must refuse to be overwritten (the
+    stale-artifact trap that cost an eval round — CLAUDE.md)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(phase="eval", setting="oracle", method="worst", vos="fake")
+    stale = tmp_path / "results" / "fake" / "oracle" / "davis" / "worst"
+    stale.mkdir(parents=True)
+    (stale / "summary.json").write_text('{"auc": 0.0}')
+    with pytest.raises(FileExistsError):
+        evaluate(
+            cfg, registry, FakeVOS(registry), subset="val", max_nb_interactions=1
+        )
+    # committed artifact untouched
+    assert json.loads((stale / "summary.json").read_text())["auc"] == 0.0
+    # explicit dirs and overwrite=True both proceed
+    summary = evaluate(
+        cfg,
+        registry,
+        FakeVOS(registry),
+        subset="val",
+        max_nb_interactions=1,
+        samples=[("alpha", 1)],
+        overwrite=True,
+    )
+    assert json.loads((stale / "summary.json").read_text())["auc"] == pytest.approx(
+        summary["auc"]
+    )
+
+
 def test_eval_driver_wild_ours_with_assessnet(registry, tmp_path):
     """Full wild pipeline: fused AssessNet scoring feeds the agent."""
     import jax
