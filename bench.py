@@ -52,6 +52,20 @@ def _ref_style_bbox_host(mask_np: np.ndarray, scale=1.5) -> np.ndarray:
     return out
 
 
+def _sync(jnp, out):
+    """Drain the device stream: fetch ONE scalar from the result.
+
+    ``jax.block_until_ready`` does NOT synchronize over this image's axon
+    tunnel (observed: 8 × 480p crop iterations 'complete' in 0.04 ms); a
+    host fetch of a single element forces the stream to finish. The fetch
+    itself is 4 bytes — tunnel latency, not bandwidth, so timing skew is
+    one round-trip amortised over ITERS dispatches."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def _bench_crop_paths(jax, jnp, frames, probs):
     """Time the flagship T×O ROI crop: XLA einsum path vs pallas kernel.
 
@@ -76,11 +90,11 @@ def _bench_crop_paths(jax, jnp, frames, probs):
 
     def time_fn(fn):
         out = fn(frames, probs, yxhw)
-        jax.block_until_ready(out)
+        _sync(jnp, out)
         tic = time.perf_counter()
         for _ in range(ITERS):
             out = fn(frames, probs, yxhw)
-        jax.block_until_ready(out)
+        _sync(jnp, out)
         return (time.perf_counter() - tic) / ITERS
 
     einsum_fn = jax.jit(functools.partial(roi_crop_pairs_einsum, out_size=256))
@@ -123,8 +137,12 @@ def _bench_crop_paths(jax, jnp, frames, probs):
     if "PALLAS_PROBE_OK" not in proc.stdout:
         detail["pallas"] = f"skipped: probe failed: {proc.stderr[-200:]}"
         return detail
-    pallas_fn = functools.partial(roi_crop_pairs_pallas, out_size=256)
-    detail["pallas_ms"] = round(time_fn(pallas_fn) * 1e3, 2)
+    # bf16 is the pallas production dtype (score_clip's request); the f32
+    # block path exceeds scoped VMEM at 480p (C=4 f32 blocks, measured)
+    pallas_fn = functools.partial(
+        roi_crop_pairs_pallas, out_size=256, dtype=jnp.bfloat16
+    )
+    detail["pallas_bf16_ms"] = round(time_fn(pallas_fn) * 1e3, 2)
     return detail
 
 
@@ -172,13 +190,14 @@ def main():
         return brain_forward(brain_params, state)[0], quality
 
     for _ in range(WARMUP):
-        jax.block_until_ready(
-            fused_round(assess_vars, brain_params, frames, probs, obj_valid, counts)
+        _sync(
+            jnp,
+            fused_round(assess_vars, brain_params, frames, probs, obj_valid, counts),
         )
     tic = time.perf_counter()
     for _ in range(ITERS):
         out = fused_round(assess_vars, brain_params, frames, probs, obj_valid, counts)
-    jax.block_until_ready(out)
+    _sync(jnp, out)
     fused_time = (time.perf_counter() - tic) / ITERS
     fused_fps = T / fused_time
 

@@ -139,70 +139,73 @@ def _interp_mats(box_ref, i, h, w, s):
     return ry, rx
 
 
-def _pair_channel_kernel(box_ref, img_ref, out_ref, *, h, w, s):
-    """grid = (T*O, C): pair i, one image channel per step — a [1,1,H,W]
-    block fits the double-buffered VMEM budget even at 480p (a fused C=4
-    block does not: 24 MB > the 16 MB scoped-vmem limit, measured)."""
+def _pair_kernel(box_ref, frame_ref, prob_ref, out_ref, *, h, w, s, dtype):
+    """grid = (T*O,): pair i crops its frame's 3 channels AND its prob map
+    in ONE step — the interpolation matrices are built once per pair (the
+    old per-channel grid rebuilt them 4×) and the frame block stays resident
+    across the O consecutive pairs that share it (identical block index →
+    Mosaic skips the re-fetch). bf16 blocks halve both the VMEM footprint
+    and the HBM traffic; dots accumulate in f32 either way."""
     i = pl.program_id(0)
-    ry, rx = _interp_mats(box_ref, i, h, w, s)
-    hi = jax.lax.Precision.HIGHEST
-    tmp = jnp.dot(ry, img_ref[0, 0], precision=hi, preferred_element_type=jnp.float32)
-    out_ref[0, 0] = jnp.dot(tmp, rx.T, precision=hi, preferred_element_type=jnp.float32)
+    ry, rx = _interp_mats(box_ref, i, h, w, s)  # f32 [S,H] / [S,W]
+    # f32 → 6-pass HIGHEST dots (exact parity with the einsum path);
+    # bf16 → single-pass MXU dots with f32 accumulation
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    ry = ry.astype(dtype)
+    rx = rx.astype(dtype)
+    # contract over W via dot_general dimension numbers — a materialised
+    # rx.T ([W, S] transpose on the VPU) is a catastrophic Mosaic slow path
+    dn = (((1,), (1,)), ((), ()))
+
+    def crop2d(img):
+        tmp = jnp.dot(
+            ry, img, precision=prec, preferred_element_type=jnp.float32
+        ).astype(dtype)  # [S, W]
+        return jax.lax.dot_general(
+            tmp, rx, dn, precision=prec, preferred_element_type=jnp.float32
+        ).astype(dtype)  # [S, S]
+
+    for ch in range(3):
+        out_ref[0, ch] = crop2d(frame_ref[0, ch])
+    out_ref[0, 3] = crop2d(prob_ref[0, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_size", "dtype", "interpret"))
 def roi_crop_pairs_pallas(
-    frames: jnp.ndarray,  # [T, H, W, 3] float32
-    probs: jnp.ndarray,  # [T, O, H, W] float32
+    frames: jnp.ndarray,  # [T, H, W, 3]
+    probs: jnp.ndarray,  # [T, O, H, W]
     yxhw: jnp.ndarray,  # [T*O, 4]
     out_size: int = ROI_S,
+    dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """All T×O (frame, object) ROI crops fused: → [T*O, S, S, 4] (rgb+prob).
 
     Pair i crops frame i//O with object i%O's box; the BlockSpec index maps
     route frame/prob blocks per grid step, so the [T*O, H, W] frame broadcast
-    (~GBs of HBM at DAVIS scale) never exists. Two pallas calls (frame
-    channels / prob maps) keep each step's working set under the VMEM limit.
+    (~GBs of HBM at DAVIS scale) never exists. One pallas call handles frame
+    channels and prob map together; at 480p the bf16 working set
+    (frame 2.6 MB + prob 0.9 MB + out 0.5 MB + matrices ~2 MB, double-
+    buffered) fits the ~16 MB VMEM budget. f32 also fits at ≤272p test
+    shapes (used by the parity tests); the production scoring path is bf16.
     """
     t, h, w, _ = frames.shape
     o = probs.shape[1]
     s = out_size
     ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
     boxes = jnp.stack([ymin, ymax, xmin, xmax], axis=1).astype(jnp.float32)
-    frames_chw = jnp.transpose(frames, (0, 3, 1, 2)).astype(jnp.float32)
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2)).astype(dtype)
 
-    kern = functools.partial(_pair_channel_kernel, h=h, w=w, s=s)
-    frame_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t * o, 3),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, h, w),
-                lambda i, c, *_: (i // o, c, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, s, s), lambda i, c, *_: (i, c, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    out_f = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((t * o, 3, s, s), jnp.float32),
-        grid_spec=frame_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * t * o * (s * h * w + s * s * w) * 3,
-            bytes_accessed=t * o * 3 * (h * w + s * s) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(boxes, frames_chw)
-
-    prob_spec = pltpu.PrefetchScalarGridSpec(
+    kern = functools.partial(_pair_kernel, h=h, w=w, s=s, dtype=dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t * o,),
         in_specs=[
+            pl.BlockSpec(
+                (1, 3, h, w),
+                lambda i, *_: (i // o, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 1, h, w),
                 lambda i, *_: (i // o, i % o, 0, 0),
@@ -210,35 +213,37 @@ def roi_crop_pairs_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, s, s), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 4, s, s), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )
-    out_p = pl.pallas_call(
+    itemsize = jnp.dtype(dtype).itemsize
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((t * o, 1, s, s), jnp.float32),
-        grid_spec=prob_spec,
+        out_shape=jax.ShapeDtypeStruct((t * o, 4, s, s), dtype),
+        grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * t * o * (s * h * w + s * s * w),
-            bytes_accessed=t * o * (h * w + s * s) * 4,
+            flops=2 * t * o * (s * h * w + s * s * w) * 4,
+            # frame blocks are fetched once per FRAME (reused across its O
+            # pairs); prob blocks once per pair
+            bytes_accessed=(t * 3 + t * o) * h * w * itemsize
+            + t * o * 4 * s * s * itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(boxes, probs.astype(jnp.float32))
-
-    out = jnp.concatenate([out_f, out_p], axis=1)
+    )(boxes, frames_chw, probs.astype(dtype))
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def roi_crop_pairs(frames, probs, yxhw, out_size: int = ROI_S, dtype=jnp.float32):
     """Flagship T×O pair crop: pallas kernel when enabled, pair-indexed
-    einsums otherwise (identical numerics, parity-tested). Returns
-    (tf_roi [T*O, S, S, 3], tp_roi [T*O, S, S, 1]).
+    einsums otherwise (same dtype policy on both paths, parity-tested).
+    Returns (tf_roi [T*O, S, S, 3], tp_roi [T*O, S, S, 1]).
 
     dtype=float32 (default) keeps full-precision MXU contractions; bfloat16
     is the scoring-path fast mode — half the HBM traffic and single-pass MXU
     dots (f32 accumulation), feeding an encoder that is bf16 anyway."""
     if _pallas_enabled():
-        out = roi_crop_pairs_pallas(frames, probs, yxhw, out_size)
+        out = roi_crop_pairs_pallas(frames, probs, yxhw, out_size, dtype=dtype)
         return out[..., :3], out[..., 3:]
     return roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
 

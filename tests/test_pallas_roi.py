@@ -94,6 +94,51 @@ def test_roi_crop_pairs_pallas_interpret_parity():
     np.testing.assert_allclose(out[..., 3:], np.asarray(tp_ref), atol=2e-5)
 
 
+def test_roi_crop_pairs_pallas_bf16_parity():
+    """The bf16 block path (the production scoring dtype) must match the
+    bf16 einsum fallback within bf16 rounding, and return bf16 crops —
+    score_clip requests bf16, so the pallas path must honour it."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret mode: run via scripts/test_cpu.sh")
+    import jax.numpy as jnp
+
+    from ivosw_tpu.kernels.roi_pallas import (
+        roi_crop_pairs_einsum,
+        roi_crop_pairs_pallas,
+    )
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    rng = np.random.default_rng(3)
+    t, o, h, w = 2, 2, 96, 128
+    frames = rng.random((t, h, w, 3)).astype(np.float32)
+    probs = np.zeros((t, o, h, w), np.float32)
+    probs[0, 0, 10:60, 12:100] = 0.9
+    probs[1, 1, 40:90, 5:70] = 0.8
+    tm = (probs > 0.5).astype(np.float32).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(jnp.asarray(tm), scale=1.5)
+
+    tf_ref, tp_ref = roi_crop_pairs_einsum(
+        jnp.asarray(frames), jnp.asarray(probs), yxhw, 64, dtype=jnp.bfloat16
+    )
+    out = roi_crop_pairs_pallas(
+        jnp.asarray(frames), jnp.asarray(probs), yxhw, 64,
+        dtype=jnp.bfloat16, interpret=True,
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out[..., :3], np.float32),
+        np.asarray(tf_ref, np.float32),
+        atol=1.6e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[..., 3:], np.float32),
+        np.asarray(tp_ref, np.float32),
+        atol=1.6e-2,
+    )
+
+
 def test_score_clip_uses_dispatcher(monkeypatch):
     """score_clip's crop must flow through kernels.roi_pallas.roi_crop_pairs
     (the single pallas/einsum dispatch point)."""
