@@ -29,10 +29,17 @@ put all six setting×method AUCs within ±0.004).
 
 Everything is derived from one integer seed — tests and the committed
 results can recreate the exact dataset bit-for-bit.
+
+Two tiers share the generator (``DemoSpec``): the default 48×64/2-object
+tier (the committed round-2 artifacts; its rng streams are frozen) and an
+HD tier (``HD_SPEC``: 192×256, 3 objects — ≈2/5 of DAVIS-480p height) that
+moves the demonstration toward the reference's operating point while
+keeping the same band/churn annotation economics.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Tuple
 
 import numpy as np
@@ -52,7 +59,42 @@ VAL_SEQS = [f"dm-v{i}" for i in range(8)]
 # way in every clip (small per-clip jitter), so a backbone trained on the
 # train split generalises to unseen val clips — without this, a from-scratch
 # net memorises per-clip colours and val quality collapses (measured)
-PALETTE = np.array([[0.85, 0.25, 0.20], [0.20, 0.80, 0.30]], dtype=np.float32)
+PALETTE = np.array(
+    [[0.85, 0.25, 0.20], [0.20, 0.80, 0.30], [0.25, 0.35, 0.90]],
+    dtype=np.float32,
+)
+
+
+@dataclass(frozen=True)
+class DemoSpec:
+    """Generator geometry for one demo tier.
+
+    The default values reproduce the original 48×64 tier bit-for-bit (the
+    rng draw sequence in :func:`_make_clip` depends only on these fields,
+    so equal fields ⇒ identical streams ⇒ identical committed artifacts).
+    """
+
+    h: int = H
+    w: int = W
+    num_frames: int = NUM_FRAMES
+    hard_len: int = HARD_LEN
+    churn_len: int = CHURN_LEN
+    num_objects: int = NUM_OBJECTS
+    # distractor blob side in the hard bands; scaled with resolution so the
+    # false-positive bait stays object-sized, not speck-sized
+    blob: int = 8
+
+    @property
+    def name(self) -> str:
+        return f"{self.h}x{self.w}-{self.num_objects}obj-{self.num_frames}f"
+
+
+DEFAULT_SPEC = DemoSpec()
+# HD tier: 4× the per-side resolution (16× pixels), one more object. Frame
+# count and band/churn economics are unchanged — budget scarcity, not pixel
+# count, is what makes the ordering learnable; pixels are what make the
+# segmentation task approach DAVIS conditions.
+HD_SPEC = DemoSpec(h=192, w=256, num_objects=3, blob=32)
 
 
 def _reflect01(x: float) -> float:
@@ -62,22 +104,23 @@ def _reflect01(x: float) -> float:
 
 
 def _make_clip(
-    rng: np.random.Generator,
+    rng: np.random.Generator, spec: DemoSpec = DEFAULT_SPEC
 ) -> Tuple[np.ndarray, np.ndarray, tuple, int]:
     """One clip: textured background + drifting objects + two hard bands.
 
     Returns (frames, annotations, hard_band_starts, churn_start)."""
-    frames = np.zeros((NUM_FRAMES, H, W, 3), dtype=np.float32)
-    anns = np.zeros((NUM_FRAMES, H, W), dtype=np.uint8)
-    base = rng.random((H, W, 3)).astype(np.float32) * 0.3
-    centers = rng.random((NUM_OBJECTS, 2)) * 0.5 + 0.25
-    vels = (rng.random((NUM_OBJECTS, 2)) - 0.5) * 0.03
+    h, w, nf, n_obj = spec.h, spec.w, spec.num_frames, spec.num_objects
+    hard_len, churn_len = spec.hard_len, spec.churn_len
+    frames = np.zeros((nf, h, w, 3), dtype=np.float32)
+    anns = np.zeros((nf, h, w), dtype=np.uint8)
+    base = rng.random((h, w, 3)).astype(np.float32) * 0.3
+    centers = rng.random((n_obj, 2)) * 0.5 + 0.25
+    vels = (rng.random((n_obj, 2)) - 0.5) * 0.03
     # objects span several /16-scale feature cells (tiny sub-cell objects
     # are unsegmentable by design at this resolution)
-    sizes = rng.integers(H // 3, H // 2 + 1, size=NUM_OBJECTS)
+    sizes = rng.integers(h // 3, h // 2 + 1, size=n_obj)
     colors = np.clip(
-        PALETTE[:NUM_OBJECTS]
-        + rng.normal(0, 0.04, (NUM_OBJECTS, 3)).astype(np.float32),
+        PALETTE[:n_obj] + rng.normal(0, 0.04, (n_obj, 3)).astype(np.float32),
         0.0,
         1.0,
     )
@@ -89,10 +132,10 @@ def _make_clip(
     # a hard band is part of what makes frame choice matter. One band
     # alone is too easy (round-1 J&F 0.83, policy spread 0.001 —
     # measured); two bands put 1/3 of the budget-wasting frames back.
-    segs = [("hard", HARD_LEN), ("hard", HARD_LEN), ("churn", CHURN_LEN)]
+    segs = [("hard", hard_len), ("hard", hard_len), ("churn", churn_len)]
     order = [int(i) for i in rng.permutation(3)]
     gap = 3
-    slack = NUM_FRAMES - 4 - (2 * HARD_LEN + CHURN_LEN) - 2 * gap
+    slack = nf - 4 - (2 * hard_len + churn_len) - 2 * gap
     extras = rng.multinomial(slack, [0.25] * 4)
     pos = 2 + int(extras[0])
     hard_list = []
@@ -108,21 +151,21 @@ def _make_clip(
 
     # churn: per-object colour random walk — appearance decorrelates within
     # a few frames, so propagation needs several anchors inside the window
-    churn_off = np.zeros((NUM_OBJECTS, 3), dtype=np.float32)
+    churn_off = np.zeros((n_obj, 3), dtype=np.float32)
 
-    for t in range(NUM_FRAMES):
-        frame = base + rng.normal(0, 0.02, (H, W, 3)).astype(np.float32)
-        ann = np.zeros((H, W), dtype=np.uint8)
-        hard = any(s <= t < s + HARD_LEN for s in hard_starts)
-        if churn_start <= t < churn_start + CHURN_LEN:
-            churn_off += rng.normal(0, 0.07, (NUM_OBJECTS, 3)).astype(np.float32)
+    for t in range(nf):
+        frame = base + rng.normal(0, 0.02, (h, w, 3)).astype(np.float32)
+        ann = np.zeros((h, w), dtype=np.uint8)
+        hard = any(s <= t < s + hard_len for s in hard_starts)
+        if churn_start <= t < churn_start + churn_len:
+            churn_off += rng.normal(0, 0.07, (n_obj, 3)).astype(np.float32)
         colors_t = np.clip(colors + churn_off, 0.12, 1.0)
-        for o in range(NUM_OBJECTS):
-            cy = int(_reflect01(centers[o, 0] + vels[o, 0] * t) * (H - 1))
-            cx = int(_reflect01(centers[o, 1] + vels[o, 1] * t) * (W - 1))
+        for o in range(n_obj):
+            cy = int(_reflect01(centers[o, 0] + vels[o, 0] * t) * (h - 1))
+            cx = int(_reflect01(centers[o, 1] + vels[o, 1] * t) * (w - 1))
             s = int(sizes[o])
-            y0, y1 = max(0, cy - s // 2), min(H, cy + s // 2)
-            x0, x1 = max(0, cx - s // 2), min(W, cx + s // 2)
+            y0, y1 = max(0, cy - s // 2), min(h, cy + s // 2)
+            x0, x1 = max(0, cx - s // 2), min(w, cx + s // 2)
             if not hard:
                 frame[y0:y1, x0:x1] = colors_t[o] + rng.normal(
                     0, 0.03, (y1 - y0, x1 - x0, 3)
@@ -135,17 +178,20 @@ def _make_clip(
         if hard:
             # same-coloured distractor blobs: false-positive bait for
             # matching-based propagation and the interaction net
-            for o in range(NUM_OBJECTS):
-                dy = int(rng.integers(0, H - 8))
-                dx = int(rng.integers(0, W - 8))
-                patch = ann[dy : dy + 8, dx : dx + 8]
-                frame[dy : dy + 8, dx : dx + 8][patch == 0] = colors[o]
+            b = spec.blob
+            for o in range(n_obj):
+                dy = int(rng.integers(0, h - b))
+                dx = int(rng.integers(0, w - b))
+                patch = ann[dy : dy + b, dx : dx + b]
+                frame[dy : dy + b, dx : dx + b][patch == 0] = colors[o]
         frames[t] = np.clip(frame, 0.0, 1.0)
         anns[t] = ann
     return frames, anns, hard_starts, churn_start
 
 
-def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistry:
+def demo_training_registry(
+    n_clips: int = 400, seed: int = 1, spec: DemoSpec = DEFAULT_SPEC
+) -> SequenceRegistry:
     """Large pool of generator-fresh clips for appearance training.
 
     A from-scratch backbone (or QA net) trained on the 12 fixed train clips
@@ -158,20 +204,20 @@ def demo_training_registry(n_clips: int = 400, seed: int = 1) -> SequenceRegistr
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xBEEF]))
     for i in range(n_clips):
         name = f"dmx-{i:04d}"
-        frames, anns, _, _ = _make_clip(rng)
+        frames, anns, _, _ = _make_clip(rng, spec)
         reg.sequences[name] = SequenceInfo(
             name=name,
             set="train",
-            num_frames=NUM_FRAMES,
-            image_size=(W, H),
-            num_objects=NUM_OBJECTS,
+            num_frames=spec.num_frames,
+            image_size=(spec.w, spec.h),
+            num_objects=spec.num_objects,
             num_scribbles=1,
         )
         reg._synthetic[name] = (frames, anns)
     return reg
 
 
-def demo_registry(seed: int = 0) -> SequenceRegistry:
+def demo_registry(seed: int = 0, spec: DemoSpec = DEFAULT_SPEC) -> SequenceRegistry:
     """Train+val registry of hard-band clips (fully determined by seed).
 
     Returns a registry whose ``hard_starts`` / ``churn_starts`` attributes
@@ -186,13 +232,13 @@ def demo_registry(seed: int = 0) -> SequenceRegistry:
     # clip and 30-epoch reward baselines exactly 30 records per parity group
     for names, split, n_scb in ((TRAIN_SEQS, "train", 3), (VAL_SEQS, "val", 3)):
         for name in names:
-            frames, anns, hard_starts_i, churn_i = _make_clip(rng)
+            frames, anns, hard_starts_i, churn_i = _make_clip(rng, spec)
             reg.sequences[name] = SequenceInfo(
                 name=name,
                 set=split,
-                num_frames=NUM_FRAMES,
-                image_size=(W, H),
-                num_objects=NUM_OBJECTS,
+                num_frames=spec.num_frames,
+                image_size=(spec.w, spec.h),
+                num_objects=spec.num_objects,
                 num_scribbles=n_scb,
             )
             reg._synthetic[name] = (frames, anns)

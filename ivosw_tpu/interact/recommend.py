@@ -336,6 +336,7 @@ def agent_business(
     num_updates: Optional[int] = None,
     batch_sampler=None,
     expected_count: Optional[int] = None,
+    state_override=None,
 ):
     """Per-round transition collection + episode-end Q-updates
     (reference utils/utils_agent.py:207-256).
@@ -343,6 +344,13 @@ def agent_business(
     Returns (mean update loss, reward_step, reward_done). In the 'train'
     phase the final round of an episode runs ``max_nb_interactions·3 − 1``
     replay updates (or ``num_updates`` when given); other phases only record.
+
+    ``state_override=(old_state, new_state)`` records those per-frame
+    quality arrays as the transition's state/next-state instead of the true
+    metrics — the wild fine-tune uses it so Q-updates train on the same
+    (smoothed) AssessNet-predicted states the policy acts on at wild
+    evaluation. Rewards always stay ground-truth J&F (Eq.3 vs the baseline
+    table), matching the reference's reward definition.
     """
     agent_loss = 0.0
     reward_step, reward_done = 0.0, 0.0
@@ -366,6 +374,10 @@ def agent_business(
     next_counts[next_frame] += 1
     done = n_interaction >= max_nb_interactions
 
+    state_arr, next_state_arr = (
+        state_override if state_override is not None
+        else (old_masks_metric, new_masks_metric)
+    )
     agent.memory(
         Transition(
             sequence=sequence,
@@ -376,8 +388,8 @@ def agent_business(
             reward_step=reward_step,
             reward_done=reward_done,
             done=done,
-            state_iou=np.asarray(old_masks_metric, dtype=np.float32),
-            next_state_iou=np.asarray(new_masks_metric, dtype=np.float32),
+            state_iou=np.asarray(state_arr, dtype=np.float32),
+            next_state_iou=np.asarray(next_state_arr, dtype=np.float32),
             annotated_frames=counts,
             next_annotated_frames=next_counts,
         ),

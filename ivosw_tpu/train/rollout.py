@@ -118,6 +118,19 @@ def run_interactive_phase(
                     prev_frames = [next_frame]
                     annotated_frames_list = [next_frame]
                     n_interaction = 1
+                    # wild/ours: the policy acts on (smoothed) predicted
+                    # quality, so Q-updates must train on the SAME states —
+                    # recommend_frame writes them into pred_buf in place
+                    wild_states = (
+                        cfg.setting == "wild"
+                        and cfg.method == "ours"
+                        and assess_variables is not None
+                    )
+                    pred_buf = (
+                        np.zeros(n_frame, dtype=np.float32) if wild_states else None
+                    )
+                    old_pred = None
+                    new_pred = None
                     state = begin_sequence_compat(
                         adapter,
                         clip_frames,
@@ -142,6 +155,7 @@ def run_interactive_phase(
                     annotated_frames_list.append(next_frame)
                     old_frame = next_frame
                     old_metric = new_masks_metric
+                    old_pred = new_pred
                     n_interaction += 1
 
                 # slice the accumulated scribbles to the training window
@@ -168,11 +182,13 @@ def run_interactive_phase(
                     new_masks_quality=new_masks_metric,
                     prev_frames=prev_frames,
                     annotated_frames_list=copy.deepcopy(annotated_frames_list),
-                    mask_quality=None,
+                    mask_quality=pred_buf,
                     first_frame=first_frame,
                     max_nb_interactions=max_rounds,
                     rng=rng,
                 )
+                if wild_states:
+                    new_pred = pred_buf.copy()
                 prev_frames.append(next_frame)
 
                 submit = gt_original.copy()
@@ -198,6 +214,11 @@ def run_interactive_phase(
                     next_frame,
                     report_dir,
                     expected_count=expected_count,
+                    state_override=(
+                        (old_pred, new_pred)
+                        if wild_states and old_pred is not None
+                        else None
+                    ),
                 )
                 if loss:
                     loss_meter.update(loss)

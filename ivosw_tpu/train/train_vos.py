@@ -189,8 +189,13 @@ def sample_windows(
     the A-Net channels are [prev-prob, pos, neg] instead of [0.5, pos, 0]
     (reference utils/utils_atnet.py:40-52), frame K-1 becomes a second
     annotated-memory entry, and the alpha blend ramp toward it is active
-    (utils/utils_atnet.py:126-147)."""
+    (utils/utils_atnet.py:126-147). The per-family losses consume the same
+    round-2 episode through their own cross-round machinery: tapnet's
+    second memory entry + alpha blend, matchnet's global-map running max
+    (utils/utils_manet.py global_map_tmp_dic), ipnet's Get_weight distance
+    fusion (utils/utils_ipn.py:37-72) — ``fuse_w`` carries that ramp."""
     from ivosw_tpu.data.scribbles import scribble_masks_per_object
+    from ivosw_tpu.models.vos.ipnet import get_weight
     from ivosw_tpu.models.vos.tapnet import compute_alpha
 
     fruitless = 0
@@ -227,11 +232,13 @@ def sample_windows(
             prev_round = _degrade_masks(gt_onehot, rng)
             prev_lab = _prev_labels(prev_round)
             alpha = compute_alpha(window, np.array([window - 1]), 0)
+            fuse_w = get_weight(window, np.array([window - 1]), 0)
         else:
             # round 1: no previous prediction; alpha ramp inactive (all 1)
             prev_round = np.full_like(gt_onehot, 0.5)
             prev_lab = np.zeros_like(g)
             alpha = np.ones(window, dtype=np.float32)
+            fuse_w = np.ones(window, dtype=np.float32)
 
         scrib = robot.interact(seq, prev_lab, g, n_obj, frame=0)
         maps = scribble_masks_per_object(
@@ -276,6 +283,8 @@ def sample_windows(
                     ],
                     axis=-1,
                 )
+        pos2 = maps2[1:].astype(np.float32)
+        neg2 = np.clip(any_scrib2[None] - maps2[1:], 0.0, 1.0).astype(np.float32)
         yield {
             "img": img.astype(np.float32),
             "gt": gt_onehot,
@@ -283,15 +292,27 @@ def sample_windows(
             "interaction2": interaction2,
             "prev_round": prev_round,
             "alpha": alpha.astype(np.float32),
+            "fuse_w": fuse_w.astype(np.float32),
             "mem2_valid": np.float32(1.0 if round2 else 0.0),
             "pos": pos,
             "neg": neg,
+            "pos2": pos2,
+            "neg2": neg2,
             "scrib_maps": maps.astype(np.float32),
+            "scrib_maps2": maps2.astype(np.float32),
         }
 
 
 def matchnet_window_loss(params, batch):
-    """batch: img [K,H,W,3], gt [O,K,H,W], scrib_maps [O+1,H,W]."""
+    """batch: img [K,H,W,3], gt [O,K,H,W], scrib_maps/scrib_maps2 [O+1,H,W].
+
+    Round-2 samples (mem2_valid=1) exercise MatchNet's cross-round
+    machinery the adapter uses at eval rounds ≥2 (matchnet.py:154-215,
+    reference utils/utils_manet.py global_map_tmp_dic): frame K-1 acts as
+    the PRIOR round's anchor — its interact pass is supervised, and each
+    frame's global map starts from its similarity vs that prior anchor so
+    ``max(prior, current)`` running-max accumulation is on the training
+    path, not inference-only."""
     import jax.image as jimage
 
     from ivosw_tpu.models.vos.matchnet import MatchNet, _object_sim_maps
@@ -301,35 +322,53 @@ def matchnet_window_loss(params, batch):
     gt = batch["gt"]
     o, k = gt.shape[0], img.shape[0]
     hw = img.shape[1:3]
+    mem2_valid = batch["mem2_valid"]
 
     r4s, r3s, r2s = model.apply({"params": params}, img, method=MatchNet.encode)
     h16, w16 = r4s.shape[1:3]
 
-    scrib = batch["scrib_maps"]
-    pos = jimage.resize(scrib[1:], (o, h16, w16), "bilinear")
-    neg_full = jnp.clip(scrib.sum(0, keepdims=True) - scrib[1:], 0, 1)
-    neg = jimage.resize(neg_full, (o, h16, w16), "bilinear")
+    def interact_at(idx, scrib, prev_full):
+        pos = jimage.resize(scrib[1:], (o, h16, w16), "bilinear")
+        neg_full = jnp.clip(scrib.sum(0, keepdims=True) - scrib[1:], 0, 1)
+        neg = jimage.resize(neg_full, (o, h16, w16), "bilinear")
+        prev = jimage.resize(prev_full, (o, h16, w16), "bilinear")[
+            ..., None
+        ].astype(jnp.bfloat16)
+        scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
+        r4o = jnp.broadcast_to(r4s[idx][None], (o,) + r4s[idx].shape)
+        r3o = jnp.broadcast_to(r3s[idx][None], (o,) + r3s[idx].shape)
+        r2o = jnp.broadcast_to(r2s[idx][None], (o,) + r2s[idx].shape)
+        return model.apply(
+            {"params": params}, r4o, r3o, r2o, scrib_feat, prev, hw,
+            method=MatchNet.interact,
+        )
+
     # round-2 samples feed the degraded previous-round mask, round-1 zeros
-    prev_full = batch["prev_round"][:, 0] * batch["mem2_valid"]
-    prev = jimage.resize(prev_full, (o, h16, w16), "bilinear")[..., None].astype(
-        jnp.bfloat16
-    )
-    scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
-    r4o = jnp.broadcast_to(r4s[0][None], (o,) + r4s[0].shape)
-    r3o = jnp.broadcast_to(r3s[0][None], (o,) + r3s[0].shape)
-    r2o = jnp.broadcast_to(r2s[0][None], (o,) + r2s[0].shape)
-    anno_logit = model.apply(
-        {"params": params}, r4o, r3o, r2o, scrib_feat, prev, hw,
-        method=MatchNet.interact,
-    )
+    anno_logit = interact_at(0, batch["scrib_maps"], batch["prev_round"][:, 0] * mem2_valid)
     loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
     anno_prob = jax.nn.sigmoid(anno_logit)
     ref_probs16 = jimage.resize(anno_prob, (o, h16, w16), "bilinear")
 
+    # prior-round anchor at K-1 (round-2 samples only): supervised interact
+    # pass + per-frame global-map seed, mirroring what a real earlier round
+    # would have left in _MatchState.global_map
+    anno2_logit = interact_at(
+        k - 1, batch["scrib_maps2"], batch["prev_round"][:, -1] * mem2_valid
+    )
+    loss = loss + mem2_valid * jnp.mean(bce_with_logits(anno2_logit, gt[:, -1]))
+    prior_probs16 = jimage.resize(
+        jax.nn.sigmoid(anno2_logit), (o, h16, w16), "bilinear"
+    )
+    gm_prior = jax.vmap(lambda e: _object_sim_maps(e, r4s[-1], prior_probs16))(
+        r4s[1:]
+    )  # [K-1, O, h16, w16]
+    gm_prior = jnp.where(mem2_valid > 0, gm_prior, -1.0)
+
     def body(carry, inp):
         prev_prob, prev_emb = carry
-        r4c, r3c, r2c, gt_t = inp
+        r4c, r3c, r2c, gt_t, gm_prior_t = inp
         gmap = _object_sim_maps(r4c, r4s[0], ref_probs16)
+        gmap = jnp.maximum(gm_prior_t, gmap)  # running max across rounds
         prev16 = jimage.resize(prev_prob, (o, h16, w16), "bilinear")
         lmap = _object_sim_maps(r4c, prev_emb, prev16)
         match_feat = jnp.stack([gmap, lmap], axis=-1).astype(jnp.bfloat16)
@@ -346,13 +385,22 @@ def matchnet_window_loss(params, batch):
 
     gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))
     _, step_losses = jax.lax.scan(
-        body, (anno_prob, r4s[0]), (r4s[1:], r3s[1:], r2s[1:], gt_prop)
+        body, (anno_prob, r4s[0]), (r4s[1:], r3s[1:], r2s[1:], gt_prop, gm_prior)
     )
     return loss + jnp.mean(step_losses)
 
 
 def ipnet_window_loss(params, batch):
-    """batch: img [K,H,W,3], gt [O,K,H,W], pos/neg [O,H,W]."""
+    """batch: img [K,H,W,3], gt [O,K,H,W], pos/neg/pos2/neg2 [O,H,W],
+    fuse_w [K].
+
+    Round-2 samples (mem2_valid=1) exercise IPNet's multi-anchor machinery
+    the adapter uses at eval rounds ≥2 (ipnet.py:134-179, reference
+    utils/utils_ipn.py:37-72): frame K-1 acts as the prior round's anchor
+    (supervised interact pass) and each propagation step is fused with the
+    previous-round map through the Get_weight distance ramp — the same
+    ``w·new + (1−w)·old`` the inference scan applies — so the net trains
+    under the blend it will be evaluated under."""
     from ivosw_tpu.models.vos.ipnet import IPNet, _ref_vector
 
     model = IPNet()
@@ -360,10 +408,11 @@ def ipnet_window_loss(params, batch):
     gt = batch["gt"]
     o = gt.shape[0]
     hw = img.shape[1:3]
+    mem2_valid = batch["mem2_valid"]
 
     img0 = jnp.broadcast_to(img[0][None], (o,) + img[0].shape)
     # round-2 samples feed the degraded previous-round mask, round-1 zeros
-    prev0 = batch["prev_round"][:, 0] * batch["mem2_valid"]
+    prev0 = batch["prev_round"][:, 0] * mem2_valid
     anno_logit = model.apply(
         {"params": params}, img0, batch["pos"], batch["neg"], prev0,
         method=IPNet.interact,
@@ -371,11 +420,20 @@ def ipnet_window_loss(params, batch):
     loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
     anno_prob = jax.nn.sigmoid(anno_logit)
 
+    # prior-round anchor at K-1 (round-2 samples only)
+    imgl = jnp.broadcast_to(img[-1][None], (o,) + img[-1].shape)
+    anno2_logit = model.apply(
+        {"params": params}, imgl, batch["pos2"], batch["neg2"],
+        batch["prev_round"][:, -1] * mem2_valid,
+        method=IPNet.interact,
+    )
+    loss = loss + mem2_valid * jnp.mean(bce_with_logits(anno2_logit, gt[:, -1]))
+
     r4s, r3s, r2s = model.apply({"params": params}, img, method=IPNet.encode)
     ref_vec = _ref_vector(r4s[0], anno_prob)
 
     def body(carry, inp):
-        r4c, r3c, r2c, gt_t = inp
+        r4c, r3c, r2c, gt_t, prev_t, w_t = inp
         r4b = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
         r3b = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
         r2b = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
@@ -383,12 +441,24 @@ def ipnet_window_loss(params, batch):
             {"params": params}, r4b, r3b, r2b, ref_vec, carry, hw,
             method=IPNet.propagate,
         )
-        step_loss = jnp.mean(bce_with_logits(logit, gt_t))
-        return jax.nn.sigmoid(logit), step_loss
+        # Get_weight fusion, exactly as the inference scan applies it
+        fused = w_t * jax.nn.sigmoid(logit) + (1.0 - w_t) * prev_t
+        step_loss = jnp.mean(bce_probs(fused, gt_t))
+        return fused, step_loss
 
     gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))
+    prev_prop = jnp.transpose(batch["prev_round"][:, 1:], (1, 0, 2, 3))
     _, step_losses = jax.lax.scan(
-        body, anno_prob, (r4s[1:], r3s[1:], r2s[1:], gt_prop)
+        body,
+        anno_prob,
+        (
+            r4s[1:],
+            r3s[1:],
+            r2s[1:],
+            gt_prop,
+            prev_prop,
+            batch["fuse_w"][1:, None, None, None],
+        ),
     )
     return loss + jnp.mean(step_losses)
 

@@ -18,7 +18,12 @@ Stages (resumable; a stage is skipped when its artifact already exists):
     agent_wild -> weights_demo/wild/agent.orbax    (wild-state fine-tune)
     evaluate -> results/tapnet/{setting}/synthetic/{method}/summary.json
 
-Usage: python scripts/demo_ordering.py [stage ...] [--force]
+Usage: python scripts/demo_ordering.py [stage ...] [--force] [--tier hd]
+
+Tiers (see ivosw_tpu/data/demo.py::DemoSpec):
+    default  48×64, 2 objects   -> weights_demo/ train_demo/ results/.../synthetic/
+    hd       192×256, 3 objects -> weights_demo_hd/ train_demo_hd/
+                                   results/.../synthetic-hd/
 """
 
 from __future__ import annotations
@@ -31,9 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ivosw_tpu.utils.misc import create_stream_logger, enable_compile_cache
 
+TIER = "default"
 CKPT_DIR = "weights_demo"
 TRAIN_DIR = "train_demo"
 QA_DIR = os.path.join(TRAIN_DIR, "quality_assessment")
+RESULTS_DATASET = "synthetic"
+POOL_CLIPS = 160
 EVAL_CONFIGS = [
     ("oracle", "worst"),
     ("oracle", "ours"),
@@ -44,6 +52,31 @@ EVAL_CONFIGS = [
 ]
 
 log = create_stream_logger("demo")
+
+
+def set_tier(tier: str):
+    """Point every stage's paths + generator spec at one tier."""
+    global TIER, CKPT_DIR, TRAIN_DIR, QA_DIR, RESULTS_DATASET, POOL_CLIPS
+    TIER = tier
+    if tier == "default":
+        CKPT_DIR, TRAIN_DIR, RESULTS_DATASET = "weights_demo", "train_demo", "synthetic"
+        POOL_CLIPS = 160
+    elif tier == "hd":
+        CKPT_DIR, TRAIN_DIR = "weights_demo_hd", "train_demo_hd"
+        RESULTS_DATASET = "synthetic-hd"
+        # 16× the pixels per clip: 96 pool clips keep host generation time
+        # and the QA dump volume tractable while still being 8× the fixed
+        # registry's diversity
+        POOL_CLIPS = 96
+    else:
+        raise SystemExit(f"unknown tier: {tier} (default|hd)")
+    QA_DIR = os.path.join(TRAIN_DIR, "quality_assessment")
+
+
+def spec():
+    from ivosw_tpu.data.demo import DEFAULT_SPEC, HD_SPEC
+
+    return HD_SPEC if TIER == "hd" else DEFAULT_SPEC
 
 
 def base_config():
@@ -69,7 +102,7 @@ def base_config():
 def registry():
     from ivosw_tpu.data.demo import demo_registry
 
-    return demo_registry(seed=0)
+    return demo_registry(seed=0, spec=spec())
 
 
 def adapter(reg):
@@ -81,7 +114,7 @@ def adapter(reg):
 def training_pool():
     from ivosw_tpu.data.demo import demo_training_registry
 
-    return demo_training_registry(n_clips=160, seed=1)
+    return demo_training_registry(n_clips=POOL_CLIPS, seed=1, spec=spec())
 
 
 def stage_tapnet(reg, force):
@@ -106,11 +139,12 @@ def _qa_registry_stamp():
     labels (cost one confusing eval round)."""
     from ivosw_tpu.data import demo
 
+    sp = spec()
     return {
         "generator": "demo_training_registry",
-        "n_clips": 160,
+        "n_clips": POOL_CLIPS,
         "seed": 1,
-        "clip": [demo.NUM_FRAMES, demo.H, demo.W, demo.NUM_OBJECTS],
+        "clip": [sp.num_frames, sp.h, sp.w, sp.num_objects],
         "max_rounds": base_config().davis_interactive.max_nb_interactions,
     }
 
@@ -269,7 +303,9 @@ def stage_evaluate(reg, force):
     for setting, method in EVAL_CONFIGS:
         cfg = base_config()
         cfg.setting, cfg.method = setting, method
-        report_dir = os.path.join("results", "tapnet", setting, "synthetic", method)
+        report_dir = os.path.join(
+            "results", "tapnet", setting, RESULTS_DATASET, method
+        )
         if os.path.exists(os.path.join(report_dir, "summary.json")) and not force:
             with open(os.path.join(report_dir, "summary.json")) as fp:
                 results[(setting, method)] = json.load(fp)["auc"]
@@ -327,6 +363,8 @@ STAGES = {
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     force = "--force" in argv
+    if "--tier" in argv:
+        set_tier(argv[argv.index("--tier") + 1])
     # agent_wild is opt-in: measured at demo scale it DEGRADES wild/ours
     # (0.7810 vs 0.7836 with the oracle-trained agent) — Q-updates against
     # corr~0.7 predicted states drift the policy more than the train/eval

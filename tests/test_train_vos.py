@@ -187,3 +187,60 @@ def test_trained_tapnet_round2_beats_round1(tmp_path):
         j1 = j_per.mean()
         j2 = batched_jaccard(gt, masks2, nb_objects=2).mean()
         assert j2 > j1, (seq, j1, j2)
+
+
+@pytest.mark.parametrize("family", ["matchnet", "ipnet"])
+def test_trained_family_round2_beats_round1(tmp_path, family):
+    """Round-2-aware training must put each family's cross-round machinery
+    (matchnet: global-map running max; ipnet: Get_weight fusion) on the
+    training path: a second corrective interaction improves mean J over
+    round 1 — mirroring test_trained_tapnet_round2_beats_round1."""
+    from ivosw_tpu.interact.robot import ScribbleRobot
+    from ivosw_tpu.ops.metrics import batched_jaccard
+    from ivosw_tpu.train.train_vos import _family
+
+    if family == "matchnet":
+        from ivosw_tpu.models.vos.matchnet import MatchNetAdapter as Adapter
+    else:
+        from ivosw_tpu.models.vos.ipnet import IPNetAdapter as Adapter
+
+    reg2 = SequenceRegistry.synthetic(
+        ["tv-a", "tv-b", "tv-c"],
+        num_frames=6,
+        image_size=(64, 48),
+        num_objects=2,
+        split="train",
+        seed=9,
+    )
+    init_fn, _, _ = _family(family)
+    cfg = Config(seed=2, vos=family)
+    cfg.data.subset = "train"
+    cfg.ckpt_dir = str(tmp_path / f"w3_{family}")
+    params0 = init_fn(2, hw=(48, 64))
+    stats = train_vos.run(
+        cfg, registry=reg2, num_steps=150, window=3, lr=3e-4,
+        params=params0, save_every=150, round2_prob=0.6,
+    )
+
+    improved = 0
+    for seq in ["tv-a", "tv-b", "tv-c"]:
+        frames = reg2.load_images(seq)
+        gt = reg2.load_annotations(seq)
+        robot = ScribbleRobot(seed=1)
+        adapter = Adapter(stats["params"], encode_chunk=6)
+        state = adapter.begin_sequence(frames, 2)
+
+        scrib1 = robot.interact(seq, np.zeros_like(gt), gt, 2, frame=2)
+        masks1, _, state = adapter.segment(state, scrib1, 2, 1)
+        j_per = batched_jaccard(gt, masks1, nb_objects=2)
+
+        worst = int(np.argmin(j_per))
+        scrib2 = robot.interact(seq, masks1, gt, 2, frame=worst)
+        masks2, _, state = adapter.segment(state, scrib2, worst, 2)
+        j1 = j_per.mean()
+        j2 = batched_jaccard(gt, masks2, nb_objects=2).mean()
+        if j2 > j1:
+            improved += 1
+    # demand improvement on a majority of clips (the un-tuned 150-step
+    # budget leaves one clip of slack vs tapnet's all-3 requirement)
+    assert improved >= 2, (family, improved)

@@ -191,3 +191,42 @@ def test_smooth_clip_quality():
     noisy = band + np.random.default_rng(0).normal(0, 0.15, 20).astype(np.float32)
     sm = smooth_clip_quality(noisy, 5)
     assert 8 <= int(np.argmin(sm)) < 13
+
+
+def test_wild_finetune_records_predicted_states(registry, tmp_path, monkeypatch):
+    """The wild fine-tune's Q-updates must train on the SAME (smoothed)
+    AssessNet-predicted states the policy acts on — not the true J&F the
+    oracle phases record (VERDICT r2 item 9: recording true-metric states
+    while acting on corr~0.7 predictions made the fine-tune pure noise)."""
+    from ivosw_tpu.interact import recommend
+    from ivosw_tpu.train.rollout import run_interactive_phase
+
+    marker = 0.123  # recognisably not a FakeVOS J&F value
+
+    def fake_predict(assess_variables, all_F, all_P, n_objects):
+        t = all_P.shape[0]
+        return np.full(t, marker, dtype=np.float32), None
+
+    monkeypatch.setattr(recommend, "predict_clip_quality", fake_predict)
+
+    cfg = _cfg(tmp_path, seed=7)
+    cfg.phase = "train"
+    cfg.num_epochs = 1
+    cfg.setting, cfg.method = "wild", "ours"
+    from ivosw_tpu.models.agent import Agent
+
+    agent = Agent(cfg)
+    run_interactive_phase(
+        cfg,
+        registry,
+        _adapter(registry),
+        agent,
+        reward_table=None,
+        subset="train",
+        assess_variables=object(),  # rollout only gates on `is not None`
+    )
+    transitions = [t for t in agent.memory_pool.memory if t is not None]
+    assert transitions, "no transitions recorded"
+    for tr in transitions:
+        np.testing.assert_allclose(tr.state_iou, marker, atol=1e-6)
+        np.testing.assert_allclose(tr.next_state_iou, marker, atol=1e-6)
