@@ -79,10 +79,27 @@ def spec():
     return HD_SPEC if TIER == "hd" else DEFAULT_SPEC
 
 
+VOS_NAME = "tapnet"
+
+
+def set_vos(name: str):
+    """Select the backbone family the train/evaluate stages target.
+
+    The QA/RL stages stay tapnet-trained regardless: the reference's own
+    claim is that ONE trained agent transfers across VOS backbones (its
+    results table evaluates the same policy on ATNet/MANet/IPN), so the
+    non-tapnet demos reuse the committed agent + AssessNet and swap only
+    the segmentation backbone."""
+    global VOS_NAME
+    if name not in ("tapnet", "matchnet", "ipnet"):
+        raise SystemExit(f"unknown vos: {name}")
+    VOS_NAME = name
+
+
 def base_config():
     from ivosw_tpu.core.config import Config
 
-    cfg = Config(seed=0, vos="tapnet", dataset="synthetic", ckpt_dir=CKPT_DIR)
+    cfg = Config(seed=0, vos=VOS_NAME, dataset="synthetic", ckpt_dir=CKPT_DIR)
     cfg.data.subset = "train"
     # half the 48-frame clips: 5 rounds on 24 frames puts training in the
     # same scarce-budget regime as evaluation (8 rounds on 48), and a window
@@ -106,9 +123,9 @@ def registry():
 
 
 def adapter(reg):
-    from ivosw_tpu.models.vos.tapnet import TAPNetAdapter
+    from ivosw_tpu.eval.backbones import build_backbone
 
-    return TAPNetAdapter.create(ckpt_dir=CKPT_DIR)
+    return build_backbone(base_config(), reg)
 
 
 def training_pool():
@@ -118,9 +135,9 @@ def training_pool():
 
 
 def stage_tapnet(reg, force):
-    out = os.path.join(CKPT_DIR, "tapnet.orbax")
+    out = os.path.join(CKPT_DIR, f"{VOS_NAME}.orbax")
     if os.path.exists(out) and not force:
-        return log.info(f"skip tapnet ({out} exists)")
+        return log.info(f"skip {VOS_NAME} ({out} exists)")
     from ivosw_tpu.train import train_vos
 
     cfg = base_config()
@@ -304,7 +321,7 @@ def stage_evaluate(reg, force):
         cfg = base_config()
         cfg.setting, cfg.method = setting, method
         report_dir = os.path.join(
-            "results", "tapnet", setting, RESULTS_DATASET, method
+            "results", VOS_NAME, setting, RESULTS_DATASET, method
         )
         if os.path.exists(os.path.join(report_dir, "summary.json")) and not force:
             with open(os.path.join(report_dir, "summary.json")) as fp:
@@ -337,7 +354,7 @@ def stage_evaluate(reg, force):
             subset="val",
             max_nb_interactions=8,
             report_save_dir=report_dir,
-            vos_name="tapnet",
+            vos_name=VOS_NAME,
         )
         results[(setting, method)] = summary["auc"]
         log.info(f"eval {setting}/{method}: auc={summary['auc']:.4f}")
@@ -365,6 +382,8 @@ def main(argv=None):
     force = "--force" in argv
     if "--tier" in argv:
         set_tier(argv[argv.index("--tier") + 1])
+    if "--vos" in argv:
+        set_vos(argv[argv.index("--vos") + 1])
     # agent_wild is opt-in: measured at demo scale it DEGRADES wild/ours
     # (0.7810 vs 0.7836 with the oracle-trained agent) — Q-updates against
     # corr~0.7 predicted states drift the policy more than the train/eval

@@ -83,3 +83,38 @@ def test_demo_registry_is_deterministic():
         )
     assert a.hard_starts == b.hard_starts
     assert a.churn_starts == b.churn_starts
+
+
+def test_default_spec_stream_is_frozen():
+    """The DemoSpec refactor must keep the default tier bit-for-bit: the
+    committed round-2 artifacts and trained weights depend on these exact
+    rng streams. Pin a content hash of one train and one val clip."""
+    import hashlib
+
+    from ivosw_tpu.data.demo import demo_registry
+
+    reg = demo_registry(seed=0)
+    digest = hashlib.sha256()
+    for seq in ("dm-t0", "dm-v7"):
+        digest.update(reg.load_images(seq).tobytes())
+        digest.update(reg.load_annotations(seq).tobytes())
+    assert digest.hexdigest() == (
+        "c3b9799ea1ab231fd347d4a430ea8bdd0b2698a3927a87c039bfea344dcd67b1"
+    )
+
+
+def test_hd_spec_registry():
+    """HD tier: 192×256, 3 objects, same structural guarantees (hard bands
+    + churn window per clip, deterministic across constructions)."""
+    from ivosw_tpu.data.demo import HD_SPEC, demo_registry
+
+    a = demo_registry(seed=0, spec=HD_SPEC)
+    b = demo_registry(seed=0, spec=HD_SPEC)
+    img = a.load_images("dm-t0")
+    ann = a.load_annotations("dm-t0")
+    assert img.shape == (48, 192, 256, 3)
+    assert ann.max() == 3  # all three objects present
+    np.testing.assert_array_equal(img, b.load_images("dm-t0"))
+    for seq in a.subset("train") + a.subset("val"):
+        assert len(a.hard_starts[seq]) == 2
+        assert a.churn_starts[seq] > 0 or a.churn_starts[seq] == 0
