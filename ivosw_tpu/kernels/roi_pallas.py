@@ -234,6 +234,86 @@ def roi_crop_pairs_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+def _pair_kernel_premat(ry_ref, rx_ref, frame_ref, prob_ref, out_ref, *, dtype):
+    """Variant with the interpolation matrices computed OUTSIDE the kernel
+    (batched XLA iota/abs/max over all pairs) and streamed in as per-pair
+    blocks: the kernel body is four pure MXU dots — no VPU matrix build or
+    f32→bf16 casts on the per-pair critical path. Costs one extra HBM read
+    of Ry/Rx (~131 MB bf16 at 480p ≈ 0.17 ms at HBM speed)."""
+    ry = ry_ref[0]  # [S, H]
+    rx = rx_ref[0]  # [S, W]
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    dn = (((1,), (1,)), ((), ()))
+
+    def crop2d(img):
+        tmp = jnp.dot(
+            ry, img, precision=prec, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        return jax.lax.dot_general(
+            tmp, rx, dn, precision=prec, preferred_element_type=jnp.float32
+        ).astype(dtype)
+
+    for ch in range(3):
+        out_ref[0, ch] = crop2d(frame_ref[0, ch])
+    out_ref[0, 3] = crop2d(prob_ref[0, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "dtype", "interpret"))
+def roi_crop_pairs_pallas_premat(
+    frames: jnp.ndarray,  # [T, H, W, 3]
+    probs: jnp.ndarray,  # [T, O, H, W]
+    yxhw: jnp.ndarray,  # [T*O, 4]
+    out_size: int = ROI_S,
+    dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Like :func:`roi_crop_pairs_pallas` but with host-of-kernel matrices
+    (see :func:`_pair_kernel_premat`). → [T*O, S, S, 4]."""
+    from ivosw_tpu.ops.roi import _interp_matrix
+
+    t, h, w, _ = frames.shape
+    o = probs.shape[1]
+    s = out_size
+    ymin, ymax, xmin, xmax = yxhw_to_minmax(yxhw)
+    ry_all = _interp_matrix(ymin, ymax, h, s).astype(dtype)  # [T*O, S, H]
+    rx_all = _interp_matrix(xmin, xmax, w, s).astype(dtype)  # [T*O, S, W]
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2)).astype(dtype)
+
+    kern = functools.partial(_pair_kernel_premat, dtype=dtype)
+    grid_spec = pl.GridSpec(
+        grid=(t * o,),
+        in_specs=[
+            pl.BlockSpec((1, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, h, w), lambda i: (i // o, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, h, w),
+                lambda i: (i // o, i % o, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, s, s), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    itemsize = jnp.dtype(dtype).itemsize
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((t * o, 4, s, s), dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * o * (s * h * w + s * s * w) * 4,
+            bytes_accessed=(t * 3 + t * o) * h * w * itemsize
+            + t * o * (s * h + s * w + 4 * s * s) * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ry_all, rx_all, frames_chw, probs.astype(dtype))
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
 def roi_crop_pairs(frames, probs, yxhw, out_size: int = ROI_S, dtype=jnp.float32):
     """Flagship T×O pair crop: pallas kernel when enabled, pair-indexed
     einsums otherwise (same dtype policy on both paths, parity-tested).

@@ -8,7 +8,8 @@ BASELINE-style ordering (ours > worst/random/linspace) to be learnable:
 2. band mechanism: annotating an in-band frame pays off less (globally)
    than annotating an out-of-band frame.
 
-Usage: python scripts/demo_probe.py [probe ...]   probes: bands, policies
+Usage: python scripts/demo_probe.py [probe ...] [--tier hd]
+Probes: bands, policies, qa (held-out AssessNet correlation).
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import scripts.demo_ordering as demo  # noqa: E402
 from scripts.demo_ordering import adapter, base_config, registry  # noqa: E402
 
 from ivosw_tpu.data.demo import HARD_LEN  # noqa: E402
@@ -96,13 +98,56 @@ def probe_policies():
         print(f"{setting}/{method}: auc={summary['auc']:.4f} curve={curve}")
 
 
-PROBES = {"bands": probe_bands, "policies": probe_policies}
+def probe_qa():
+    """Held-out QA fidelity: Pearson corr between AssessNet-predicted and
+    true per-frame J&F on val-clip round-1 predictions — the number the
+    wild setting's usefulness rides on (reference gets ~high corr for free
+    from its ImageNet-pretrained encoder; the from-scratch demo must earn
+    it). Run BETWEEN the assess and reward stages: a corr collapse here
+    means the RL hours downstream are wasted."""
+    from ivosw_tpu.interact.recommend import predict_clip_quality
+    from ivosw_tpu.utils.checkpoint import load_assess_variables_ckpt
+
+    assess_variables = load_assess_variables_ckpt(demo.CKPT_DIR)
+    assert assess_variables is not None, f"no assess ckpt in {demo.CKPT_DIR}"
+    reg = registry()
+    adp = adapter(reg)
+    robot = ScribbleRobot(seed=0)
+    corrs = []
+    for seq in reg.subset("val"):
+        info = reg.info(seq)
+        gt = reg.load_annotations(seq)
+        frames = reg.load_images(seq)
+        first = info.num_frames // 2
+        state = adp.begin_sequence(frames, info.num_objects)
+        scrib = robot.interact(
+            seq, np.zeros_like(gt), gt, info.num_objects, first
+        )
+        masks, probs, state = adp.segment(state, scrib, first, 1)
+        true_q = sequence_metric(
+            "J_AND_F", gt, np.asarray(masks), info.num_objects
+        )
+        pred_q, _ = predict_clip_quality(
+            assess_variables, frames, probs, info.num_objects
+        )
+        c = float(np.corrcoef(pred_q, true_q)[0, 1])
+        corrs.append(c)
+        print(f"  {seq}: corr={c:.3f}")
+    print(f"qa held-out corr: mean={np.mean(corrs):.3f} min={np.min(corrs):.3f}")
+
+
+PROBES = {"bands": probe_bands, "policies": probe_policies, "qa": probe_qa}
 
 if __name__ == "__main__":
     from ivosw_tpu.utils.misc import enable_compile_cache
 
     enable_compile_cache()
-    names = [a for a in sys.argv[1:] if a in PROBES] or list(PROBES)
+    argv = sys.argv[1:]
+    if "--tier" in argv:
+        demo.set_tier(argv[argv.index("--tier") + 1])
+    if "--vos" in argv:
+        demo.set_vos(argv[argv.index("--vos") + 1])
+    names = [a for a in argv if a in PROBES] or list(PROBES)
     for name in names:
         print(f"=== probe {name} ===")
         PROBES[name]()

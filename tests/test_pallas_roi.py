@@ -212,3 +212,51 @@ def test_roi_crop_pairs_pallas_compiles_on_tpu():
         pytest.skip("Mosaic remote compile hung (known image quirk)")
     if "PALLAS_TPU_OK" not in proc.stdout:
         pytest.skip(f"Mosaic compile failed: {proc.stderr[-400:]}")
+
+
+def test_roi_crop_pairs_pallas_premat_interpret_parity():
+    """Precomputed-matrix kernel variant == einsum path (f32) and returns
+    the requested dtype (bf16)."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret mode: run via scripts/test_cpu.sh")
+    import jax.numpy as jnp
+
+    from ivosw_tpu.kernels.roi_pallas import (
+        roi_crop_pairs_einsum,
+        roi_crop_pairs_pallas_premat,
+    )
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    rng = np.random.default_rng(5)
+    t, o, h, w = 3, 2, 96, 128
+    frames = rng.random((t, h, w, 3)).astype(np.float32)
+    probs = np.zeros((t, o, h, w), np.float32)
+    probs[0, 0, 10:60, 12:100] = 0.9
+    probs[1, 1, 40:90, 5:70] = 0.8
+    probs[2, 0, 20:30, 20:40] = 0.7
+
+    tm = (probs > 0.5).astype(np.float32).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(jnp.asarray(tm), scale=1.5)
+
+    tf_ref, tp_ref = roi_crop_pairs_einsum(
+        jnp.asarray(frames), jnp.asarray(probs), yxhw, 64
+    )
+    out = np.asarray(
+        roi_crop_pairs_pallas_premat(
+            jnp.asarray(frames), jnp.asarray(probs), yxhw, 64, interpret=True
+        )
+    )
+    np.testing.assert_allclose(out[..., :3], np.asarray(tf_ref), atol=2e-5)
+    np.testing.assert_allclose(out[..., 3:], np.asarray(tp_ref), atol=2e-5)
+
+    out_bf = roi_crop_pairs_pallas_premat(
+        jnp.asarray(frames),
+        jnp.asarray(probs),
+        yxhw,
+        64,
+        dtype=jnp.bfloat16,
+        interpret=True,
+    )
+    assert out_bf.dtype == jnp.bfloat16
