@@ -209,17 +209,38 @@ def stage_qadata(reg, force):
     )
 
 
+def stage_assess_pretext(reg, force):
+    """Synthetic-degradation pretext for the AssessNet trunk (opt-in).
+
+    The from-scratch analogue of the reference's ImageNet-pretrained
+    encoder (reference models/assessment.py:30-39): infinite labelled
+    (degraded mask → true J&F) pairs from the generator pool widen the
+    narrow session-dump error distribution that caps held-out corr ~0.7.
+    stage_assess picks the checkpoint up automatically when present."""
+    out = os.path.join(CKPT_DIR, "assess_pretext.orbax")
+    if os.path.exists(out) and not force:
+        return log.info(f"skip assess_pretext ({out} exists)")
+    from ivosw_tpu.train import pretrain_assess
+
+    pretrain_assess.run(base_config(), registry=training_pool(), num_steps=1500)
+
+
 def stage_assess(reg, force):
     out = os.path.join(CKPT_DIR, "assess_net.orbax")
     if os.path.exists(out) and not force:
         return log.info(f"skip assess ({out} exists)")
     from ivosw_tpu.train import train_assess
+    from ivosw_tpu.utils.checkpoint import load_pytree
 
     cfg = base_config()
+    variables = load_pytree(os.path.join(CKPT_DIR, "assess_pretext.orbax"))
+    if variables is not None:
+        log.info("assess init: pretext checkpoint")
     # 3 epochs over the full 160-clip dump pool: clip diversity moves
     # held-out correlation more than extra passes over fewer clips
     train_assess.run(
-        cfg, registry=training_pool(), save_result_dir=QA_DIR, num_epochs=3
+        cfg, registry=training_pool(), save_result_dir=QA_DIR, num_epochs=3,
+        variables=variables,
     )
 
 
@@ -368,6 +389,7 @@ def stage_evaluate(reg, force):
 STAGES = {
     "tapnet": stage_tapnet,
     "qadata": stage_qadata,
+    "assess_pretext": stage_assess_pretext,
     "assess": stage_assess,
     "reward": stage_reward,
     "pretrain": stage_pretrain,
@@ -384,11 +406,13 @@ def main(argv=None):
         set_tier(argv[argv.index("--tier") + 1])
     if "--vos" in argv:
         set_vos(argv[argv.index("--vos") + 1])
-    # agent_wild is opt-in: measured at demo scale it DEGRADES wild/ours
-    # (0.7810 vs 0.7836 with the oracle-trained agent) — Q-updates against
-    # corr~0.7 predicted states drift the policy more than the train/eval
-    # state mismatch costs. Kept as an experiment hook.
-    default = [s for s in STAGES if s != "agent_wild"]
+    # Opt-in stages: agent_wild degraded wild/ours at round-2 demo scale
+    # (0.7810 vs 0.7836) — that run recorded TRUE-J&F states while acting
+    # on predictions (since fixed: rollout now records the smoothed
+    # predicted states; re-measure before promoting). assess_pretext is the
+    # synthetic-degradation QA pretext — promote once the qa probe shows a
+    # corr gain.
+    default = [s for s in STAGES if s not in ("agent_wild", "assess_pretext")]
     stages = [a for a in argv if a in STAGES] or default
     enable_compile_cache()
     reg = registry()

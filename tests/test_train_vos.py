@@ -244,3 +244,40 @@ def test_trained_family_round2_beats_round1(tmp_path, family):
     # demand improvement on a majority of clips (the un-tuned 150-step
     # budget leaves one clip of slack vs tapnet's all-3 requirement)
     assert improved >= 2, (family, improved)
+
+
+def test_pretrain_assess_pretext(registry, tmp_path):
+    """Synthetic-degradation QA pretext: degradations span the quality
+    axis, the trainer runs and checkpoints, and the loss is finite."""
+    import numpy as np
+
+    from ivosw_tpu.ops.metrics import batched_jaccard
+    from ivosw_tpu.train.pretrain_assess import degrade_mask
+
+    rng = np.random.default_rng(0)
+    mask = np.zeros((48, 64), np.float32)
+    mask[10:30, 20:50] = 1.0
+    js = []
+    for _ in range(60):
+        d = (degrade_mask(mask, rng) > 0.8).astype(np.int32)
+        js.append(
+            float(
+                np.asarray(
+                    batched_jaccard(mask[None].astype(np.int32), d[None], 1)
+                ).reshape(-1)[0]
+            )
+        )
+    js = np.asarray(js)
+    assert js.min() < 0.2 and js.max() > 0.8, (js.min(), js.max())
+    assert js.std() > 0.2  # real spread, not two clusters at the ends
+
+    from ivosw_tpu.train import pretrain_assess
+
+    cfg = Config(seed=0)
+    cfg.data.subset = "train"
+    cfg.ckpt_dir = str(tmp_path / "qa_pre")
+    cfg.assess_net.train_batch_size = 2
+    cfg.assess_net.lr = 1e-4
+    stats = pretrain_assess.run(cfg, registry=registry, num_steps=3)
+    assert np.isfinite(stats["loss_avg"])
+    assert (tmp_path / "qa_pre" / "assess_pretext.orbax").exists()
