@@ -67,6 +67,10 @@ class AssessNetConfig:
     # predictions). Denoises the recommendation state: quality structure is
     # contiguous (bands/segments) while QA prediction error is per-frame
     smooth_quality: int = 1
+    # fold BatchNorm + stem normalisation into conv weights for the wild
+    # scoring path (inference-only graph; bf16-tolerance parity with the
+    # live-BN forward — ivosw_tpu/models/fold.py). Pure perf knob.
+    fold_inference: bool = True
 
 
 @dataclass

@@ -344,6 +344,12 @@ def build_and_evaluate(cfg: Config, overrides_done: bool = True, overwrite: bool
             from ivosw_tpu.models.assess import init_assess_variables
 
             assess_variables = init_assess_variables(jax.random.PRNGKey(cfg.seed))
+        if cfg.assess_net.fold_inference and "batch_stats" in assess_variables:
+            # constant-fold BN + stem normalisation once at load time; the
+            # scoring dispatch picks the folded encoder by tree structure
+            from ivosw_tpu.models.fold import fold_assess_variables
+
+            assess_variables = fold_assess_variables(assess_variables)
 
     if cfg.eval_dp_shards > 1:
         return evaluate_dp(

@@ -199,7 +199,12 @@ def predict_clip_quality(
     """
     import jax.numpy as jnp
 
-    from ivosw_tpu.models.assess import score_clip
+    from ivosw_tpu.models.assess import score_clip, score_clip_folded
+
+    # BN-folded parameter trees (ivosw_tpu/models/fold.py) carry the fused
+    # 4-channel stem and no batch_stats — route them to the folded encoder
+    if "conv_stem" in assess_variables.get("params", {}):
+        score_clip = score_clip_folded
 
     t = all_F.shape[0]
     # single upload if the caller passed host arrays; no-op for device arrays

@@ -34,36 +34,71 @@ ROI_SIZE = 256
 
 
 class AssessNet(nn.Module):
-    """Quality regressor over pre-cropped (image, prob) ROI pairs (NHWC)."""
+    """Quality regressor over pre-cropped (image, prob) ROI pairs (NHWC).
+
+    ``fold=True`` is the inference-optimised variant: the ImageNet
+    normalisation, the two stem convs (``conv1`` + ``conv1_p``) and every
+    BatchNorm are folded into bias-carrying convs over the raw bf16 crops —
+    one 4-channel ``conv_stem`` replaces normalise→cast→conv+conv→BN (three
+    full passes over the 256² activations). Parameters for this variant are
+    produced from trained standard variables by
+    :func:`ivosw_tpu.models.fold.fold_assess_variables`; numerics are
+    parity-tested to bf16 tolerance.
+    """
 
     dtype: jnp.dtype = jnp.bfloat16
+    fold: bool = False
 
     @nn.compact
     def __call__(self, tf_roi, tp_roi, train: bool = False):
         # tf_roi: [B, 256, 256, 3] in [0, 1]; tp_roi: [B, 256, 256, 1]
-        f = (tf_roi - IMAGENET_MEAN) / IMAGENET_STD
-        f = f.astype(self.dtype)
-        p = tp_roi.astype(self.dtype)
+        if self.fold:
+            assert not train, "folded AssessNet is inference-only"
+            # mean subtraction stays outside the conv (exactness at the
+            # zero-padded border — ivosw_tpu/models/fold.py docstring); the
+            # 1/std scale and bn1 live in conv_stem's kernel/bias
+            fused = jnp.concatenate(
+                [
+                    tf_roi.astype(self.dtype) - IMAGENET_MEAN.astype(self.dtype),
+                    tp_roi.astype(self.dtype),
+                ],
+                axis=-1,
+            )
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                use_bias=True,
+                dtype=self.dtype,
+                name="conv_stem",
+            )(fused)
+        else:
+            f = (tf_roi - IMAGENET_MEAN) / IMAGENET_STD
+            f = f.astype(self.dtype)
+            p = tp_roi.astype(self.dtype)
 
-        conv_stem = lambda ch_name, use_bias: nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=use_bias,
-            dtype=self.dtype,
-            name=ch_name,
-        )
-        x = conv_stem("conv1", False)(f) + conv_stem("conv1_p", False)(p)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn1",
-        )(x)
+            conv_stem = lambda ch_name, use_bias: nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                use_bias=use_bias,
+                dtype=self.dtype,
+                name=ch_name,
+            )
+            x = conv_stem("conv1", False)(f) + conv_stem("conv1_p", False)(p)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn1",
+            )(x)
         c1 = nn.relu(x)
-        r5, _, _, _ = ResNet50Trunk(dtype=self.dtype, name="trunk")(c1, train)
+        r5, _, _, _ = ResNet50Trunk(dtype=self.dtype, fold=self.fold, name="trunk")(
+            c1, train
+        )
         pooled = jnp.mean(r5, axis=(1, 2))  # global avg == avg_pool2d(r5, 8)
         q = nn.Dense(1, dtype=jnp.float32, name="fc1")(pooled.astype(jnp.float32))
         return q
@@ -158,6 +193,33 @@ def score_clip(
 
     model = AssessNet(dtype=jnp.bfloat16)
     q = model.apply(variables, tf_roi, tp_roi, train=False)
+    return q.reshape(t, o) * obj_valid[None, :]
+
+
+@jax.jit
+def score_clip_folded(
+    folded_variables: Dict[str, Any],
+    frames: jnp.ndarray,
+    probs: jnp.ndarray,
+    obj_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """:func:`score_clip` on BN-folded params (see :mod:`ivosw_tpu.models.fold`).
+
+    Same contract and (to bf16 tolerance) same numerics; the encoder runs the
+    constant-folded graph: bf16 crops feed one 4-channel stem conv, no BN ops,
+    no f32 normalisation pass."""
+    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    t, o = probs.shape[0], probs.shape[1]
+    h, w = frames.shape[1], frames.shape[2]
+
+    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(tm, scale=1.5)
+    tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, ROI_SIZE, dtype=jnp.bfloat16)
+
+    model = AssessNet(dtype=jnp.bfloat16, fold=True)
+    q = model.apply(folded_variables, tf_roi, tp_roi, train=False)
     return q.reshape(t, o) * obj_valid[None, :]
 
 

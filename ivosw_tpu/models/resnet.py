@@ -23,22 +23,29 @@ class Bottleneck(nn.Module):
     strides: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # fold=True: inference-only variant with every BatchNorm folded into the
+    # preceding conv (bias-carrying convs, no BN modules). Params produced by
+    # :func:`ivosw_tpu.models.fold.fold_assess_variables`.
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-            name=name,
-        )
+        if self.fold:
+            bn = lambda name: (lambda y: y)
+        else:
+            bn = lambda name: nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                name=name,
+            )
         conv = lambda feats, k, s, name: nn.Conv(
             feats,
             (k, k),
             strides=(s, s),
             padding=[(k // 2, k // 2)] * 2,
-            use_bias=False,
+            use_bias=self.fold,
             dtype=self.dtype,
             name=name,
         )
@@ -58,6 +65,7 @@ class ResStage(nn.Module):
     num_blocks: int
     strides: int
     dtype: jnp.dtype = jnp.bfloat16
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -67,6 +75,7 @@ class ResStage(nn.Module):
                 strides=self.strides if i == 0 else 1,
                 downsample=(i == 0),
                 dtype=self.dtype,
+                fold=self.fold,
                 name=f"block{i}",
             )(x, train)
         return x
@@ -79,6 +88,7 @@ class ResNet50Trunk(nn.Module):
     """res2..res5 stages of ResNet-50 (stem handled by the caller)."""
 
     dtype: jnp.dtype = jnp.bfloat16
+    fold: bool = False
 
     @nn.compact
     def __call__(self, c1, train: bool = False):
@@ -90,6 +100,7 @@ class ResNet50Trunk(nn.Module):
                 blocks,
                 strides=1 if idx == 0 else 2,
                 dtype=self.dtype,
+                fold=self.fold,
                 name=f"res{idx + 2}",
             )(x, train)
             feats.append(x)
