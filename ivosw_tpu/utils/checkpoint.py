@@ -27,11 +27,27 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str) -> Optional[Any]:
+    """Restore a pytree with every leaf as a HOST numpy array.
+
+    Restoring as `jax.Array` replays the sharding recorded at save time,
+    which fails outright when the checkpoint moves across topologies (e.g.
+    saved on the tunnelled TPU, restored on a CPU mesh: the recorded device
+    is absent and Orbax's sharding deserialization raises). Numpy leaves are
+    topology-free; jit uploads them to whatever device runs the consumer.
+    """
     if not os.path.exists(path):
         return None
+    import jax
+    import numpy as np
+
     ocp = _ocp()
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 # ----------------------------------------------------------------- agent --
