@@ -32,8 +32,12 @@ def load_pytree(path: str) -> Optional[Any]:
     Restoring as `jax.Array` replays the sharding recorded at save time,
     which fails outright when the checkpoint moves across topologies (e.g.
     saved on the tunnelled TPU, restored on a CPU mesh: the recorded device
-    is absent and Orbax's sharding deserialization raises). Numpy leaves are
-    topology-free; jit uploads them to whatever device runs the consumer.
+    is absent and Orbax's sharding deserialization raises). So: restore
+    topology-free numpy leaves, then `device_put` the tree ONCE onto the
+    default device. The upload matters — leaving numpy leaves makes every
+    jit call re-transfer the full parameter set, and on the tunnelled TPU
+    that turned a ~0.1 s scoring pass into ~30 s (host↔device transfers
+    are the bottleneck here, CLAUDE.md).
     """
     if not os.path.exists(path):
         return None
@@ -47,7 +51,8 @@ def load_pytree(path: str) -> Optional[Any]:
     restore_args = jax.tree_util.tree_map(
         lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
     )
-    return ckptr.restore(path, restore_args=restore_args)
+    tree = ckptr.restore(path, restore_args=restore_args)
+    return jax.device_put(tree)
 
 
 # ----------------------------------------------------------------- agent --
