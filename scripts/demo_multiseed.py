@@ -48,7 +48,15 @@ def _load_models(cfg, setting, method):
     assess_variables = None
     if method == "ours":
         agent = Agent(cfg)
-        assert restore_agent(agent, demo.CKPT_DIR), "agent checkpoint missing"
+        # mirror stage_evaluate: wild evaluation uses the wild-state
+        # fine-tuned agent when that stage produced one
+        ckpt = demo.CKPT_DIR
+        wild_dir = os.path.join(demo.CKPT_DIR, "wild")
+        if setting == "wild" and os.path.exists(
+            os.path.join(wild_dir, "agent.orbax")
+        ):
+            ckpt = wild_dir
+        assert restore_agent(agent, ckpt), "agent checkpoint missing"
     if setting == "wild" and method in ("ours", "worst"):
         assess_variables = load_assess_variables_ckpt(demo.CKPT_DIR)
         assert assess_variables is not None, "assess checkpoint missing"

@@ -406,13 +406,14 @@ def main(argv=None):
         set_tier(argv[argv.index("--tier") + 1])
     if "--vos" in argv:
         set_vos(argv[argv.index("--vos") + 1])
-    # Opt-in stages: agent_wild degraded wild/ours at round-2 demo scale
-    # (0.7810 vs 0.7836) — that run recorded TRUE-J&F states while acting
-    # on predictions (since fixed: rollout now records the smoothed
-    # predicted states; re-measure before promoting). assess_pretext is the
-    # synthetic-degradation QA pretext — promote once the qa probe shows a
-    # corr gain.
-    default = [s for s in STAGES if s not in ("agent_wild", "assess_pretext")]
+    # All stages are default since round 3. assess_pretext lifted held-out
+    # QA corr 0.70 -> 0.795; that better QA model lifted wild/worst to
+    # 0.8409, erasing the oracle-trained agent's wild margin (0.8403) —
+    # and agent_wild (fixed to record the same smoothed PREDICTED states
+    # it acts on; round 2's version recorded true-J&F states and degraded)
+    # restores it: wild/ours 0.8433. Training on the evaluation-time state
+    # distribution is what the stage is for.
+    default = list(STAGES)
     stages = [a for a in argv if a in STAGES] or default
     enable_compile_cache()
     reg = registry()

@@ -116,20 +116,28 @@ def main(argv=None):
         "bbox+crop+encoder": timed(stage_encode),
         "full_round": timed(stage_full),
     }
+    # The encoder prefix program can time SLOWER than the full fused round
+    # (measured: 61 vs 30 ms): truncating at the [T, O] score output forces
+    # a different layout/fusion choice than the full program, so the honest
+    # encoder attribution is full_round minus the cheap front phases, not
+    # the prefix difference.
+    encoder_plus_q = ms["full_round"] - ms["bbox+crop"]
     phases = {
         "bbox_reduction_ms": round(ms["bbox"], 2),
         "roi_crop_ms": round(ms["bbox+crop"] - ms["bbox"], 2),
-        "encoder_ms": round(ms["bbox+crop+encoder"] - ms["bbox+crop"], 2),
-        "q_pass_ms": round(ms["full_round"] - ms["bbox+crop+encoder"], 2),
+        "encoder_plus_q_ms": round(encoder_plus_q, 2),
+        "encoder_prefix_program_ms": round(
+            ms["bbox+crop+encoder"] - ms["bbox+crop"], 2
+        ),
         "full_round_ms": round(ms["full_round"], 2),
     }
     # MFU estimate: ResNet-50 fwd ≈ 5.4 GFLOP at 256² per (frame, object)
-    # pair + crop contraction FLOPs; v5e bf16 peak ≈ 197 TFLOP/s
+    # pair + crop contraction FLOPs; v5e bf16 peak ≈ 197 TFLOP/s. The Q-pass
+    # (T×2 BiLSTM) is negligible FLOPs, so attribute encoder_plus_q to the
+    # encoder.
     pairs = T * O
     encoder_tflop = pairs * 5.4e9 / 1e12
-    phases["encoder_tflops_per_s"] = round(
-        encoder_tflop / (phases["encoder_ms"] / 1e3), 1
-    )
+    phases["encoder_tflops_per_s"] = round(encoder_tflop / (encoder_plus_q / 1e3), 1)
     out = {
         "clip": {"T": T, "O": O, "H": H, "W": W},
         "encoder": "folded" if folded else "live-bn",

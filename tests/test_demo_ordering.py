@@ -28,8 +28,8 @@ MARGIN = 0.002
 ORACLE_MARGIN = 0.0
 
 
-def _auc(setting: str, method: str) -> float:
-    path = os.path.join(RESULTS, setting, "synthetic", method, "summary.json")
+def _auc(setting: str, method: str, dataset: str = "synthetic") -> float:
+    path = os.path.join(RESULTS, setting, dataset, method, "summary.json")
     if not os.path.exists(path):
         pytest.skip(f"demo artifacts not generated ({path} missing)")
     with open(path) as fp:
@@ -49,6 +49,26 @@ def test_wild_ours_beats_every_baseline():
 
 def test_oracle_ours_beats_worst():
     assert _auc("oracle", "ours") > _auc("oracle", "worst") + ORACLE_MARGIN
+
+
+def test_ours_beats_worst_on_every_seed():
+    """Multi-seed robustness (results/README.md): the agent's edge over the
+    worst-frame policy — the claim the reference's table makes — holds on
+    every committed registry seed, in both settings."""
+    for dataset in ("synthetic", "synthetic-seed1", "synthetic-seed2"):
+        for setting in ("oracle", "wild"):
+            ours = _auc(setting, "ours", dataset)
+            worst = _auc(setting, "worst", dataset)
+            assert ours > worst, (dataset, setting, ours, worst)
+
+
+def test_wild_win_survives_without_smoothing():
+    """Smoothing ablation: with smooth_quality=1 (the reference's exact
+    state construction) ours still beats worst — the wild margin is the
+    policy, not the smoothing knob."""
+    ours = _auc("wild", "ours", "synthetic-smooth1")
+    worst = _auc("wild", "worst", "synthetic-smooth1")
+    assert ours > worst + MARGIN, (ours, worst)
 
 
 def test_curves_are_sane():
