@@ -28,8 +28,12 @@ MARGIN = 0.002
 ORACLE_MARGIN = 0.0
 
 
-def _auc(setting: str, method: str, dataset: str = "synthetic") -> float:
-    path = os.path.join(RESULTS, setting, dataset, method, "summary.json")
+def _auc(
+    setting: str, method: str, dataset: str = "synthetic", vos: str = "tapnet"
+) -> float:
+    path = os.path.join(
+        os.path.dirname(RESULTS), vos, setting, dataset, method, "summary.json"
+    )
     if not os.path.exists(path):
         pytest.skip(f"demo artifacts not generated ({path} missing)")
     with open(path) as fp:
@@ -69,6 +73,41 @@ def test_wild_win_survives_without_smoothing():
     ours = _auc("wild", "ours", "synthetic-smooth1")
     worst = _auc("wild", "worst", "synthetic-smooth1")
     assert ours > worst + MARGIN, (ours, worst)
+
+
+@pytest.mark.parametrize("vos", ["matchnet", "ipnet"])
+def test_transfer_backbone_ordering(vos):
+    """Cross-backbone transfer (reference results/{MANet,IPN}): the SAME
+    trained agent + AssessNet — trained once against the tapnet adapter —
+    drive a different segmentation family, and the ordering the reference's
+    table proves still holds: ours > every baseline (wild), ours > worst
+    (oracle). Ordering-only margins: transfer runs the policy out of its
+    training distribution, matching the reference's own thin transfer gaps
+    (MANet wild ours-worst = 0.0107, IPN oracle ours-worst = 0.0020)."""
+    ours = _auc("wild", "ours", vos=vos)
+    for method in ("worst", "random", "linspace"):
+        assert ours > _auc("wild", method, vos=vos), (
+            vos,
+            method,
+            ours,
+            _auc("wild", method, vos=vos),
+        )
+    assert _auc("oracle", "ours", vos=vos) > _auc("oracle", "worst", vos=vos)
+
+
+def test_hd_tier_ordering():
+    """HD tier (192×256, 3 objects — results/README.md): the ordering
+    reproduces as the task approaches DAVIS conditions, not just at 48×64."""
+    ours = _auc("wild", "ours", dataset="synthetic-hd")
+    for method in ("worst", "random", "linspace"):
+        assert ours > _auc("wild", method, dataset="synthetic-hd"), (
+            method,
+            ours,
+            _auc("wild", method, dataset="synthetic-hd"),
+        )
+    assert _auc("oracle", "ours", dataset="synthetic-hd") > _auc(
+        "oracle", "worst", dataset="synthetic-hd"
+    )
 
 
 def test_curves_are_sane():
