@@ -19,6 +19,15 @@ TPU-native design: similarity maps are plain [P, P] matmuls on the MXU with
 masked-max reductions — the matching core of MANet without its per-frame
 Python loop; both propagation directions are one `lax.scan` over a
 host-computed frame permutation (shared machinery with TAPNet).
+
+Matching and guidance live at the /4 feature scale (r2), NOT /16: scribbles
+and per-pixel similarity bilinearly squashed to /16 carry no signal at small
+operating points (48x64 demo clips -> a 3x4 grid), and pixel-matching VOS in
+the MANet family is fine-grained by construction. The heads are guided
+decoders: context flows down from r4, and the /4 stage concatenates r2 with
+the scribble / match / previous-label guidance planes before the final
+logits. This also lands the similarity einsums on the MXU at useful sizes
+(P = H*W/16 pixels per frame).
 """
 
 from __future__ import annotations
@@ -32,39 +41,41 @@ import jax.numpy as jnp
 import numpy as np
 
 from ivosw_tpu.data.scribbles import scribble_masks_per_object
-from ivosw_tpu.models.vos.layers import ConvBlock, VOSDecoder, VOSEncoder
+from ivosw_tpu.models.vos.layers import ConvBlock, VOSEncoder, resize_like
 from ivosw_tpu.models.vos.tapnet import prop_order
 
 
-class IntHead(nn.Module):
-    """Interaction head: embedding ⊕ scribble maps ⊕ prev label → logits."""
+class GuidedHead(nn.Module):
+    """r4 context decoded up to /4, where guidance planes are injected.
+
+    guide4: [O, h4, w4, G] — scribble pos/neg + prev label (interaction)
+    or global/local match maps + prev-frame label + previous-ROUND map
+    (propagation; the last channel lets the head learn ATNet-style
+    keep-or-overwrite fusion across rounds, utils/utils_atnet.py:126-147)."""
 
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, emb_r4, emb_r3, emb_r2, scrib_feat, prev_feat, out_hw):
-        # emb_r4: [O, h16, w16, C]; scrib_feat/prev_feat: [O, h16, w16, k]
-        x = jnp.concatenate(
-            [emb_r4.astype(self.dtype), scrib_feat, prev_feat], axis=-1
+    def __call__(self, emb_r4, emb_r3, emb_r2, guide4, out_hw):
+        x = ConvBlock(256, 3, 1, self.dtype, name="ctx")(emb_r4.astype(self.dtype))
+        x = resize_like(x, emb_r3)
+        x = ConvBlock(128, 3, 1, self.dtype, name="mid")(
+            jnp.concatenate([x, emb_r3.astype(self.dtype)], axis=-1)
         )
-        x = ConvBlock(256, 3, 1, self.dtype, name="int1")(x)
-        x = ConvBlock(256, 3, 1, self.dtype, name="int2")(x)
-        return VOSDecoder(dtype=self.dtype, name="int_dec")(x, emb_r3, emb_r2, out_hw)
-
-
-class PropHead(nn.Module):
-    """Propagation head: embedding ⊕ global/local match maps ⊕ prev label."""
-
-    dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, emb_r4, emb_r3, emb_r2, match_feat, prev_feat, out_hw):
-        x = jnp.concatenate(
-            [emb_r4.astype(self.dtype), match_feat, prev_feat], axis=-1
+        x = resize_like(x, emb_r2)
+        x = ConvBlock(64, 3, 1, self.dtype, name="fuse")(
+            jnp.concatenate(
+                [x, emb_r2.astype(self.dtype), guide4.astype(self.dtype)], axis=-1
+            )
         )
-        x = ConvBlock(256, 3, 1, self.dtype, name="prop1")(x)
-        x = ConvBlock(256, 3, 1, self.dtype, name="prop2")(x)
-        return VOSDecoder(dtype=self.dtype, name="prop_dec")(x, emb_r3, emb_r2, out_hw)
+        x = ConvBlock(64, 3, 1, self.dtype, name="refine")(x)
+        logit = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        logit = jax.image.resize(
+            logit, logit.shape[:1] + out_hw + (1,), method="bilinear"
+        )
+        return logit[..., 0]
 
 
 class MatchNet(nn.Module):
@@ -72,26 +83,26 @@ class MatchNet(nn.Module):
 
     def setup(self):
         self.encoder = VOSEncoder(dtype=self.dtype, name="emb_enc")
-        self.int_head = IntHead(dtype=self.dtype)
-        self.prop_head = PropHead(dtype=self.dtype)
+        self.int_head = GuidedHead(dtype=self.dtype, name="int_head")
+        self.prop_head = GuidedHead(dtype=self.dtype, name="prop_head")
 
     def encode(self, frames):
         return self.encoder(frames)
 
-    def interact(self, emb_r4, emb_r3, emb_r2, scrib_feat, prev_feat, out_hw):
-        return self.int_head(emb_r4, emb_r3, emb_r2, scrib_feat, prev_feat, out_hw)
+    def interact(self, emb_r4, emb_r3, emb_r2, guide4, out_hw):
+        return self.int_head(emb_r4, emb_r3, emb_r2, guide4, out_hw)
 
-    def propagate(self, emb_r4, emb_r3, emb_r2, match_feat, prev_feat, out_hw):
-        return self.prop_head(emb_r4, emb_r3, emb_r2, match_feat, prev_feat, out_hw)
+    def propagate(self, emb_r4, emb_r3, emb_r2, guide4, out_hw):
+        return self.prop_head(emb_r4, emb_r3, emb_r2, guide4, out_hw)
 
-    def __call__(self, frames, scrib_feat, prev_feat, out_hw):  # init path
+    def __call__(self, frames, guide_int, guide_prop, out_hw):  # init path
         r4, r3, r2 = self.encoder(frames)
-        o = scrib_feat.shape[0]
+        o = guide_int.shape[0]
         r4o = jnp.broadcast_to(r4, (o,) + r4.shape[1:])
         r3o = jnp.broadcast_to(r3, (o,) + r3.shape[1:])
         r2o = jnp.broadcast_to(r2, (o,) + r2.shape[1:])
-        a = self.int_head(r4o, r3o, r2o, scrib_feat, prev_feat, out_hw)
-        b = self.prop_head(r4o, r3o, r2o, scrib_feat, prev_feat, out_hw)
+        a = self.int_head(r4o, r3o, r2o, guide_int, out_hw)
+        b = self.prop_head(r4o, r3o, r2o, guide_prop, out_hw)
         return a, b
 
 
@@ -111,18 +122,17 @@ def _downsample_to(maps, h, w):
 def _interact_jit_fn(params, emb_r4, emb_r3, emb_r2, scrib_maps, prev_label, out_hw):
     """scrib_maps: [O+1, H, W]; prev_label: [O, H, W] probabilities."""
     o = prev_label.shape[0]
-    h16, w16 = emb_r4.shape[0:2]
-    pos = _downsample_to(scrib_maps[1:], h16, w16)  # [O, h16, w16]
+    h4, w4 = emb_r2.shape[0:2]
+    pos = _downsample_to(scrib_maps[1:], h4, w4)  # [O, h4, w4]
     neg_all = jnp.clip(scrib_maps.sum(0, keepdims=True) - scrib_maps[1:], 0, 1)
-    neg = _downsample_to(neg_all, h16, w16)
-    prev = _downsample_to(prev_label, h16, w16)
-    scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
-    prev_feat = prev[..., None].astype(jnp.bfloat16)
+    neg = _downsample_to(neg_all, h4, w4)
+    prev = _downsample_to(prev_label, h4, w4)
+    guide4 = jnp.stack([pos, neg, prev], axis=-1).astype(jnp.bfloat16)
     r4o = jnp.broadcast_to(emb_r4[None], (o,) + emb_r4.shape)
     r3o = jnp.broadcast_to(emb_r3[None], (o,) + emb_r3.shape)
     r2o = jnp.broadcast_to(emb_r2[None], (o,) + emb_r2.shape)
     logit = MatchNet().apply(
-        {"params": params}, r4o, r3o, r2o, scrib_feat, prev_feat, out_hw,
+        {"params": params}, r4o, r3o, r2o, guide4, out_hw,
         method=MatchNet.interact,
     )
     return jax.nn.sigmoid(logit)  # [O, H, W]
@@ -134,8 +144,8 @@ _interact_jit = jax.jit(_interact_jit_fn, static_argnames=("out_hw",))
 def _object_sim_maps(emb, ref_emb, ref_probs, dtype=jnp.bfloat16):
     """Max cosine-similarity map per object.
 
-    emb: [h16, w16, C]; ref_emb: [h16, w16, C]; ref_probs: [O, h16, w16].
-    Returns [O, h16, w16] in [-1, 1].
+    emb: [h, w, C]; ref_emb: [h, w, C]; ref_probs: [O, h, w] (all at the
+    matching scale, /4). Returns [O, h, w] in [-1, 1].
     """
     h, w, c = emb.shape
     q = emb.reshape(h * w, c).astype(jnp.float32)
@@ -155,10 +165,10 @@ def _propagate_round_fn(
     params,
     emb_r4_ord,  # [N, h16, w16, C] in prop order
     emb_r3_ord,
-    emb_r2_ord,
-    ref_emb,  # [h16, w16, C] annotated frame embedding
+    emb_r2_ord,  # [N, h4, w4, C] — also the matching features
+    ref_emb,  # [h4, w4, C] annotated frame r2 embedding
     anno_prob,  # [O, H, W]
-    global_map_ord,  # [N, O, h16, w16] PER-FRAME running max across rounds
+    global_map_ord,  # [N, O, h4, w4] PER-FRAME running max across rounds
     prev_round_ord,  # [N, O, H, W]
     reset_ord,  # [N]
     valid_ord,  # [N]
@@ -169,8 +179,8 @@ def _propagate_round_fn(
     updates its own frame's map; nothing leaks between frames."""
     model = MatchNet()
     o = anno_prob.shape[0]
-    h16, w16 = ref_emb.shape[0:2]
-    ref_probs16 = _downsample_to(anno_prob, h16, w16)
+    h4, w4 = ref_emb.shape[0:2]
+    ref_probs4 = _downsample_to(anno_prob, h4, w4)
 
     def body(carry, inp):
         prev_prob, prev_emb = carry
@@ -178,25 +188,27 @@ def _propagate_round_fn(
         prev_prob = jnp.where(reset_t > 0, anno_prob, prev_prob)
         prev_emb = jnp.where(reset_t > 0, ref_emb, prev_emb)
 
-        g = _object_sim_maps(r4c, ref_emb, ref_probs16)  # [O, h16, w16]
+        g = _object_sim_maps(r2c, ref_emb, ref_probs4)  # [O, h4, w4]
         global_new = jnp.maximum(gm_t, g)
-        prev16 = _downsample_to(prev_prob, h16, w16)
-        l = _object_sim_maps(r4c, prev_emb, prev16)
+        prev4 = _downsample_to(prev_prob, h4, w4)
+        l = _object_sim_maps(r2c, prev_emb, prev4)
+        prev_round4 = _downsample_to(prev_round_t, h4, w4)
 
-        match_feat = jnp.stack([global_new, l], axis=-1).astype(jnp.bfloat16)
-        prev_feat = prev16[..., None].astype(jnp.bfloat16)
+        guide4 = jnp.stack(
+            [global_new, l, prev4, prev_round4], axis=-1
+        ).astype(jnp.bfloat16)
         r4o = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
         r3o = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
         r2o = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
         logit = model.apply(
-            {"params": params}, r4o, r3o, r2o, match_feat, prev_feat, out_hw,
+            {"params": params}, r4o, r3o, r2o, guide4, out_hw,
             method=MatchNet.propagate,
         )
         prob = jax.nn.sigmoid(logit)
         out = jnp.where(valid_t > 0, prob, prev_round_t)
         gm_out = jnp.where(valid_t > 0, global_new, gm_t)
         new_prev = jnp.where(valid_t > 0, prob, prev_prob)
-        new_emb = jnp.where(valid_t > 0, r4c, prev_emb)
+        new_emb = jnp.where(valid_t > 0, r2c, prev_emb)
         return (new_prev, new_emb), (out, gm_out)
 
     _, (outs, gm_outs) = jax.lax.scan(
@@ -225,7 +237,7 @@ class _MatchState:
     num_objects: int
     hw: Tuple[int, int]
     prob_maps: jnp.ndarray  # [T, O, H, W] (ON DEVICE)
-    global_map: jnp.ndarray  # [T, O, h16, w16] per-frame max over rounds
+    global_map: jnp.ndarray  # [T, O, h4, w4] per-frame max over rounds
     annotated: List[int] = field(default_factory=list)
     round: int = 0
 
@@ -273,13 +285,13 @@ class MatchNetAdapter:
             jnp.asarray(np.concatenate(r3s)),
             jnp.asarray(np.concatenate(r2s)),
         )
-        h16, w16 = feats[0].shape[1:3]
+        h4, w4 = feats[2].shape[1:3]
         return _MatchState(
             feats=feats,
             num_objects=num_objects,
             hw=(h, w),
             prob_maps=jnp.zeros((t, num_objects, h, w), dtype=jnp.float32),
-            global_map=jnp.full((t, num_objects, h16, w16), -1.0, jnp.float32),
+            global_map=jnp.full((t, num_objects, h4, w4), -1.0, jnp.float32),
         )
 
     def segment(
@@ -313,7 +325,7 @@ class MatchNetAdapter:
                 state.feats[0][order_dev],
                 state.feats[1][order_dev],
                 state.feats[2][order_dev],
-                state.feats[0][a],
+                state.feats[2][a],
                 anno_prob,
                 state.global_map[order_dev],
                 state.prob_maps[order_dev],
@@ -335,7 +347,9 @@ def init_matchnet_params(seed: int = 0, hw=(64, 64)):
     model = MatchNet()
     h, w = hw
     frames = jnp.zeros((1, h, w, 3), jnp.float32)
-    scrib = jnp.zeros((2, h // 16, w // 16, 2), jnp.bfloat16)
-    prev = jnp.zeros((2, h // 16, w // 16, 1), jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(seed), frames, scrib, prev, (h, w))
+    guide_int = jnp.zeros((2, h // 4, w // 4, 3), jnp.bfloat16)
+    guide_prop = jnp.zeros((2, h // 4, w // 4, 4), jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(seed), frames, guide_int, guide_prop, (h, w)
+    )
     return variables["params"]

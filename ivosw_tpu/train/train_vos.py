@@ -306,13 +306,15 @@ def sample_windows(
 def matchnet_window_loss(params, batch):
     """batch: img [K,H,W,3], gt [O,K,H,W], scrib_maps/scrib_maps2 [O+1,H,W].
 
-    Round-2 samples (mem2_valid=1) exercise MatchNet's cross-round
-    machinery the adapter uses at eval rounds ≥2 (matchnet.py:154-215,
-    reference utils/utils_manet.py global_map_tmp_dic): frame K-1 acts as
-    the PRIOR round's anchor — its interact pass is supervised, and each
-    frame's global map starts from its similarity vs that prior anchor so
-    ``max(prior, current)`` running-max accumulation is on the training
-    path, not inference-only."""
+    Matching + guidance live at the /4 scale (r2), matching the adapter
+    (matchnet.py — scribbles/similarity at /16 vanish at small operating
+    points). Round-2 samples (mem2_valid=1) exercise MatchNet's cross-round
+    machinery the adapter uses at eval rounds ≥2 (matchnet.py
+    _propagate_round_fn, reference utils/utils_manet.py global_map_tmp_dic):
+    frame K-1 acts as the PRIOR round's anchor — its interact pass is
+    supervised, and each frame's global map starts from its similarity vs
+    that prior anchor so ``max(prior, current)`` running-max accumulation is
+    on the training path, not inference-only."""
     import jax.image as jimage
 
     from ivosw_tpu.models.vos.matchnet import MatchNet, _object_sim_maps
@@ -325,21 +327,19 @@ def matchnet_window_loss(params, batch):
     mem2_valid = batch["mem2_valid"]
 
     r4s, r3s, r2s = model.apply({"params": params}, img, method=MatchNet.encode)
-    h16, w16 = r4s.shape[1:3]
+    h4, w4 = r2s.shape[1:3]
 
     def interact_at(idx, scrib, prev_full):
-        pos = jimage.resize(scrib[1:], (o, h16, w16), "bilinear")
+        pos = jimage.resize(scrib[1:], (o, h4, w4), "bilinear")
         neg_full = jnp.clip(scrib.sum(0, keepdims=True) - scrib[1:], 0, 1)
-        neg = jimage.resize(neg_full, (o, h16, w16), "bilinear")
-        prev = jimage.resize(prev_full, (o, h16, w16), "bilinear")[
-            ..., None
-        ].astype(jnp.bfloat16)
-        scrib_feat = jnp.stack([pos, neg], axis=-1).astype(jnp.bfloat16)
+        neg = jimage.resize(neg_full, (o, h4, w4), "bilinear")
+        prev = jimage.resize(prev_full, (o, h4, w4), "bilinear")
+        guide4 = jnp.stack([pos, neg, prev], axis=-1).astype(jnp.bfloat16)
         r4o = jnp.broadcast_to(r4s[idx][None], (o,) + r4s[idx].shape)
         r3o = jnp.broadcast_to(r3s[idx][None], (o,) + r3s[idx].shape)
         r2o = jnp.broadcast_to(r2s[idx][None], (o,) + r2s[idx].shape)
         return model.apply(
-            {"params": params}, r4o, r3o, r2o, scrib_feat, prev, hw,
+            {"params": params}, r4o, r3o, r2o, guide4, hw,
             method=MatchNet.interact,
         )
 
@@ -347,7 +347,7 @@ def matchnet_window_loss(params, batch):
     anno_logit = interact_at(0, batch["scrib_maps"], batch["prev_round"][:, 0] * mem2_valid)
     loss = jnp.mean(bce_with_logits(anno_logit, gt[:, 0]))
     anno_prob = jax.nn.sigmoid(anno_logit)
-    ref_probs16 = jimage.resize(anno_prob, (o, h16, w16), "bilinear")
+    ref_probs4 = jimage.resize(anno_prob, (o, h4, w4), "bilinear")
 
     # prior-round anchor at K-1 (round-2 samples only): supervised interact
     # pass + per-frame global-map seed, mirroring what a real earlier round
@@ -356,36 +356,45 @@ def matchnet_window_loss(params, batch):
         k - 1, batch["scrib_maps2"], batch["prev_round"][:, -1] * mem2_valid
     )
     loss = loss + mem2_valid * jnp.mean(bce_with_logits(anno2_logit, gt[:, -1]))
-    prior_probs16 = jimage.resize(
-        jax.nn.sigmoid(anno2_logit), (o, h16, w16), "bilinear"
+    prior_probs4 = jimage.resize(
+        jax.nn.sigmoid(anno2_logit), (o, h4, w4), "bilinear"
     )
-    gm_prior = jax.vmap(lambda e: _object_sim_maps(e, r4s[-1], prior_probs16))(
-        r4s[1:]
-    )  # [K-1, O, h16, w16]
+    gm_prior = jax.vmap(lambda e: _object_sim_maps(e, r2s[-1], prior_probs4))(
+        r2s[1:]
+    )  # [K-1, O, h4, w4]
     gm_prior = jnp.where(mem2_valid > 0, gm_prior, -1.0)
 
     def body(carry, inp):
         prev_prob, prev_emb = carry
-        r4c, r3c, r2c, gt_t, gm_prior_t = inp
-        gmap = _object_sim_maps(r4c, r4s[0], ref_probs16)
+        r4c, r3c, r2c, gt_t, gm_prior_t, prev_round_t = inp
+        gmap = _object_sim_maps(r2c, r2s[0], ref_probs4)
         gmap = jnp.maximum(gm_prior_t, gmap)  # running max across rounds
-        prev16 = jimage.resize(prev_prob, (o, h16, w16), "bilinear")
-        lmap = _object_sim_maps(r4c, prev_emb, prev16)
-        match_feat = jnp.stack([gmap, lmap], axis=-1).astype(jnp.bfloat16)
-        prev_feat = prev16[..., None].astype(jnp.bfloat16)
+        prev4 = jimage.resize(prev_prob, (o, h4, w4), "bilinear")
+        lmap = _object_sim_maps(r2c, prev_emb, prev4)
+        prev_round4 = jimage.resize(prev_round_t, (o, h4, w4), "bilinear")
+        guide4 = jnp.stack(
+            [gmap, lmap, prev4, prev_round4], axis=-1
+        ).astype(jnp.bfloat16)
         r4b = jnp.broadcast_to(r4c[None], (o,) + r4c.shape)
         r3b = jnp.broadcast_to(r3c[None], (o,) + r3c.shape)
         r2b = jnp.broadcast_to(r2c[None], (o,) + r2c.shape)
         logit = model.apply(
-            {"params": params}, r4b, r3b, r2b, match_feat, prev_feat, hw,
+            {"params": params}, r4b, r3b, r2b, guide4, hw,
             method=MatchNet.propagate,
         )
         step_loss = jnp.mean(bce_with_logits(logit, gt_t))
-        return (jax.nn.sigmoid(logit), r4c), step_loss
+        return (jax.nn.sigmoid(logit), r2c), step_loss
 
     gt_prop = jnp.transpose(gt[:, 1:], (1, 0, 2, 3))
+    # previous-ROUND guidance: real degraded maps on round-2 samples, zeros
+    # on round-1 (matching the adapter's zero-initialised prob_maps)
+    prev_round_prop = (
+        jnp.transpose(batch["prev_round"][:, 1:], (1, 0, 2, 3)) * mem2_valid
+    )
     _, step_losses = jax.lax.scan(
-        body, (anno_prob, r4s[0]), (r4s[1:], r3s[1:], r2s[1:], gt_prop, gm_prior)
+        body,
+        (anno_prob, r2s[0]),
+        (r4s[1:], r3s[1:], r2s[1:], gt_prop, gm_prior, prev_round_prop),
     )
     return loss + jnp.mean(step_losses)
 
