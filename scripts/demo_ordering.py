@@ -42,6 +42,7 @@ TRAIN_DIR = "train_demo"
 QA_DIR = os.path.join(TRAIN_DIR, "quality_assessment")
 RESULTS_DATASET = "synthetic"
 POOL_CLIPS = 160
+VOS_STEPS = 6000
 EVAL_CONFIGS = [
     ("oracle", "worst"),
     ("oracle", "ours"),
@@ -57,10 +58,12 @@ log = create_stream_logger("demo")
 def set_tier(tier: str):
     """Point every stage's paths + generator spec at one tier."""
     global TIER, CKPT_DIR, TRAIN_DIR, QA_DIR, RESULTS_DATASET, POOL_CLIPS
+    global VOS_STEPS
     TIER = tier
     if tier == "default":
         CKPT_DIR, TRAIN_DIR, RESULTS_DATASET = "weights_demo", "train_demo", "synthetic"
         POOL_CLIPS = 160
+        VOS_STEPS = 6000
     elif tier == "hd":
         CKPT_DIR, TRAIN_DIR = "weights_demo_hd", "train_demo_hd"
         RESULTS_DATASET = "synthetic-hd"
@@ -68,6 +71,11 @@ def set_tier(tier: str):
         # and the QA dump volume tractable while still being 8× the fixed
         # registry's diversity
         POOL_CLIPS = 96
+        # 16× the pixels per step also means faster per-step convergence
+        # (objects span many more pixels); measured: HD loss at step 450
+        # is where the default tier sits at ~1500. 3500 steps keep the
+        # backbone stage inside the tier's wall-clock budget
+        VOS_STEPS = 3500
     else:
         raise SystemExit(f"unknown tier: {tier} (default|hd)")
     QA_DIR = os.path.join(TRAIN_DIR, "quality_assessment")
@@ -144,8 +152,8 @@ def stage_tapnet(reg, force):
     # appearance training draws from the 160-clip generator pool, never the
     # fixed eval clips — a from-scratch net memorises 12 clips (measured)
     train_vos.run(
-        cfg, registry=training_pool(), num_steps=6000, window=5, lr=3e-4,
-        save_every=1000, round2_prob=0.5,
+        cfg, registry=training_pool(), num_steps=VOS_STEPS, window=5, lr=3e-4,
+        save_every=VOS_STEPS, round2_prob=0.5,
     )
 
 
