@@ -1,0 +1,130 @@
+"""Perf probe: input-residency and bbox-fusion variants of the fused round.
+
+VERDICT round-2 #6 asks for >=3000 frames/s on the bench shapes or a profile
+showing the rest is irreducible. `results/profile_fused.json` pins the
+encoder at ~18.7 ms of the 28.5 ms round, so the reachable ceiling is
+~3050 frames/s; the slack is the bbox reduction (~5 ms measured upper
+bound) + pair crop (~4.6 ms), both HBM-bandwidth bound on f32-resident
+inputs (probs [64,3,480,854] f32 = 315 MB/pass, frames another 315 MB).
+
+Variants (timed on the real chip, one-scalar sync per bench.py):
+  v0_baseline      — production `score_clip_folded` on f32 frames/probs
+  v1_bf16_inputs   — same program, frames+probs device-resident in bf16
+                     (halves every HBM read of the two big tensors)
+  v2_fused_bbox    — v1 + yxhw computed straight from probs (threshold
+                     fused into the row/col reductions; no [T*O,H,W] f32
+                     `tm` materialisation)
+
+Run: python scripts/perf_probe.py   (real TPU, nothing else on the chip)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T, O, H, W = 64, 3, 480, 854
+WARMUP, ITERS = 2, 10
+
+
+def _sync(jnp, out):
+    leaf = out[0] if isinstance(out, tuple) else out
+    float(jnp.ravel(leaf)[0])
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs
+    from ivosw_tpu.models.assess import (
+        ROI_SIZE,
+        AssessNet,
+        init_assess_variables,
+        mean_object_quality,
+        score_clip_folded,
+    )
+    from ivosw_tpu.models.brain import brain_forward, init_brain_params
+    from ivosw_tpu.models.fold import fold_assess_variables
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    rng = np.random.default_rng(0)
+    frames32 = jnp.asarray(rng.random((T, H, W, 3)), jnp.float32)
+    probs_np = np.zeros((T, O, H, W), dtype=np.float32)
+    for t in range(T):
+        for o in range(O):
+            y = (t * 5 + o * 40) % (H - 160)
+            x = (t * 7 + o * 60) % (W - 200)
+            probs_np[t, o, y : y + 150, x : x + 190] = 0.9
+    probs32 = jnp.asarray(probs_np)
+    frames16 = frames32.astype(jnp.bfloat16)
+    probs16 = probs32.astype(jnp.bfloat16)
+    obj_valid = jnp.ones((O,), jnp.float32)
+    counts = jnp.zeros((T,), jnp.float32)
+
+    assess_vars = init_assess_variables(jax.random.PRNGKey(0))
+    folded = fold_assess_variables(assess_vars)
+    brain = init_brain_params(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def v0(folded, brain, frames, probs, obj_valid, counts):
+        scores = score_clip_folded(folded, frames, probs, obj_valid)
+        quality = mean_object_quality(scores, obj_valid)
+        state = jnp.stack([quality, counts], axis=1)[None]
+        return brain_forward(brain, state)[0], quality
+
+    # v2: score_clip_folded body with the threshold fused into the bbox
+    # reductions — mask_to_yxhw's `fg = mask >= 0.49` applied to a bool
+    # (probs > 0.5) cast, never materialising the [T*O, H, W] f32 tm.
+    @jax.jit
+    def v2(folded, brain, frames, probs, obj_valid, counts):
+        t, o = probs.shape[0], probs.shape[1]
+        h, w = frames.shape[1], frames.shape[2]
+        # exact two-step semantics: fg = (probs > 0.5); values in
+        # (0.49, 0.5] are background either way only via the two-step rule,
+        # so apply the SAME comparison, not >= 0.49 on raw probs
+        fg = (probs > 0.5).reshape(t * o, h, w)
+        yxhw = mask_to_yxhw(fg.astype(jnp.float32), scale=1.5)
+        tf_roi, tp_roi = roi_crop_pairs(
+            frames, probs, yxhw, ROI_SIZE, dtype=jnp.bfloat16
+        )
+        model = AssessNet(dtype=jnp.bfloat16, fold=True)
+        q = model.apply(folded, tf_roi, tp_roi, train=False)
+        scores = q.reshape(t, o) * obj_valid[None, :]
+        quality = mean_object_quality(scores, obj_valid)
+        state = jnp.stack([quality, counts], axis=1)[None]
+        return brain_forward(brain, state)[0], quality
+
+    def time_fn(fn, frames, probs):
+        for _ in range(WARMUP):
+            _sync(jnp, fn(folded, brain, frames, probs, obj_valid, counts))
+        tic = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(folded, brain, frames, probs, obj_valid, counts)
+        _sync(jnp, out)
+        return (time.perf_counter() - tic) / ITERS * 1e3
+
+    out = {
+        "v0_baseline_f32_ms": round(time_fn(v0, frames32, probs32), 2),
+        "v1_bf16_inputs_ms": round(time_fn(v0, frames16, probs16), 2),
+        "v2_fused_bbox_bf16_ms": round(time_fn(v2, frames16, probs16), 2),
+    }
+    # numerical drift check: quality vectors of v0(f32) vs v2(bf16 inputs)
+    q0 = np.asarray(v0(folded, brain, frames32, probs32, obj_valid, counts)[1])
+    q2 = np.asarray(v2(folded, brain, frames16, probs16, obj_valid, counts)[1])
+    out["quality_max_abs_diff"] = float(np.abs(q0 - q2).max())
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
