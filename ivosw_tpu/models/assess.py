@@ -185,8 +185,9 @@ def score_clip(
     h, w = frames.shape[1], frames.shape[2]
     s = ROI_SIZE
 
-    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
-    yxhw = mask_to_yxhw(tm, scale=1.5)
+    # bool straight into the bbox reductions: same semantics as the two-step
+    # (>0.5 then >=0.49) rule, no [T*O, H, W] f32 plane materialised
+    yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
     # bf16 crop: the encoder consumes bf16 anyway; f32 contractions here
     # would cost 6-pass HIGHEST MXU dots + double the HBM traffic
     tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, s, dtype=jnp.bfloat16)
@@ -214,8 +215,7 @@ def score_clip_folded(
     t, o = probs.shape[0], probs.shape[1]
     h, w = frames.shape[1], frames.shape[2]
 
-    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
-    yxhw = mask_to_yxhw(tm, scale=1.5)
+    yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
     tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, ROI_SIZE, dtype=jnp.bfloat16)
 
     model = AssessNet(dtype=jnp.bfloat16, fold=True)

@@ -30,12 +30,16 @@ import jax.numpy as jnp
 def mask_to_yxhw(mask: jnp.ndarray, scale: float = 1.5, min_side: float = 128.0):
     """Batched mask → (y, x, h, w) ROI boxes, on device.
 
-    mask: [B, H, W] (values ≥ 0.49 are foreground, reference threshold).
+    mask: [B, H, W] (values ≥ 0.49 are foreground, reference threshold), or
+    an already-thresholded bool mask — callers that binarise with their own
+    comparison (``probs > 0.5`` in score_clip) pass the bool directly so the
+    bbox reductions read 1 byte/px instead of a materialised f32 plane
+    (4 bytes/px × T·O·H·W is real HBM traffic at DAVIS scale).
     Returns [B, 4] float32. Empty masks fall back to the whole image
     (ymin=0, ymax=H — the reference uses the exclusive extent there).
     """
     b, h, w = mask.shape
-    fg = mask >= 0.49
+    fg = mask if mask.dtype == jnp.bool_ else mask >= 0.49
     rows = jnp.any(fg, axis=2)  # [B, H]
     cols = jnp.any(fg, axis=1)  # [B, W]
     any_fg = jnp.any(rows, axis=1)  # [B]

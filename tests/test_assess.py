@@ -41,6 +41,8 @@ def _ref_yxhw(np_mask, scale=1.5):
 
 
 def test_mask_to_yxhw_golden():
+    import jax.numpy as jnp
+
     from ivosw_tpu.ops.roi import mask_to_yxhw
 
     rng = np.random.default_rng(0)
@@ -52,6 +54,10 @@ def test_mask_to_yxhw_golden():
     got = np.asarray(mask_to_yxhw(masks, scale=1.5))
     want = _ref_yxhw(masks, scale=1.5)
     np.testing.assert_allclose(got, want, atol=1e-3)
+    # bool fast path (score_clip passes `probs > 0.5` directly so the bbox
+    # reductions never read a materialised f32 plane): identical boxes
+    got_bool = np.asarray(mask_to_yxhw(jnp.asarray(masks >= 0.49), scale=1.5))
+    np.testing.assert_array_equal(got_bool, got)
 
 
 def test_roi_crop_matches_torch_grid_sample():
