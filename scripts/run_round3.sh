@@ -1,6 +1,10 @@
 #!/usr/bin/env bash
-# Round-3 continuation driver: regenerate default-tier weights (fresh host),
-# run the HD-tier capability demo, then the ipnet cross-backbone transfer.
+# Round-3 continuation driver: run the HD-tier capability demo (VERDICT #1,
+# the highest-leverage artifact), then regenerate default-tier weights
+# (fresh host), then the ipnet cross-backbone transfer (needs the
+# default-tier agent/assess weights). HD runs FIRST because the tiers are
+# fully independent (weights_demo_hd/train_demo_hd) and if the round runs
+# out of wall-clock mid-pipeline the HD artifacts matter most.
 #
 # Every stage runs in its OWN python process: the axon tunnel client leaks
 # host memory per device transfer (~16 MB/step for HD train_vos), so the
@@ -37,13 +41,6 @@ run_stage() {
 
 STAGES="tapnet qadata assess_pretext assess reward pretrain agent agent_wild evaluate"
 
-# --- Phase A: default-tier rebuild (weights gone on this fresh host; the
-# committed seed-0 artifacts make `evaluate` a no-op skip, so this phase
-# only retrains weights the judge verifies in place + ipnet needs) ---
-for s in $STAGES; do
-    run_stage "A/default/$s" demo_ordering.py "$s"
-done
-
 # --- Phase B: HD tier (VERDICT round-2 item #1) with probe gates ---
 run_stage "B/hd/tapnet" demo_ordering.py tapnet --tier hd
 run_stage "B/hd/probe-bands" demo_probe.py bands --tier hd
@@ -53,6 +50,13 @@ done
 run_stage "B/hd/probe-qa" demo_probe.py qa --tier hd
 for s in reward pretrain agent agent_wild evaluate; do
     run_stage "B/hd/$s" demo_ordering.py "$s" --tier hd
+done
+
+# --- Phase A: default-tier rebuild (weights gone on this fresh host; the
+# committed seed-0 artifacts make `evaluate` a no-op skip, so this phase
+# only retrains weights the ipnet transfer needs; bit-reproducible) ---
+for s in $STAGES; do
+    run_stage "A/default/$s" demo_ordering.py "$s"
 done
 
 # --- Phase C: ipnet cross-backbone transfer (round-4 queue item 1b) ---
