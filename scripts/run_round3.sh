@@ -59,6 +59,11 @@ for s in $STAGES; do
     run_stage "A/default/$s" demo_ordering.py "$s"
 done
 
+# --- Phase D: ytbvos-format results demo (cheap, eval-only; needs Phase A
+# weights; runs before the ~2h ipnet phase so it lands even if time runs
+# out) — covers the reference table's second dataset axis at results level ---
+run_stage "D/ytbvos" demo_ytbvos.py
+
 # --- Phase C: ipnet cross-backbone transfer (round-4 queue item 1b) ---
 run_stage "C/ipnet/train" demo_ordering.py tapnet --vos ipnet
 run_stage "C/ipnet/evaluate" demo_ordering.py evaluate --vos ipnet
