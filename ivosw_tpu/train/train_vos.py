@@ -498,11 +498,25 @@ def run(
     log=None,
     save_every: int = 500,
     round2_prob: float = 0.5,
+    resume_path: str | None = None,
 ):
-    """Train the backbone family selected by ``cfg.vos``."""
+    """Train the backbone family selected by ``cfg.vos``.
+
+    When ``resume_path`` is set, a {params, opt_state, step} snapshot is
+    written there every ``save_every`` steps and the final checkpoint lands
+    at ``ckpt_dir/<family>.orbax`` only on completion (so skip-if-exists
+    stage logic stays sound). If the snapshot already exists, training
+    resumes from it: the deterministic window stream is fast-forwarded by
+    the consumed step count, so an interrupted-then-resumed run consumes the
+    exact batch sequence an uninterrupted one would (bit-reproducibility of
+    the demo pipeline survives interruption).
+    """
+    import shutil
+    import time
+
     from ivosw_tpu.data.registry import registry_from_config
     from ivosw_tpu.interact.robot import ScribbleRobot
-    from ivosw_tpu.utils.checkpoint import save_pytree
+    from ivosw_tpu.utils.checkpoint import load_pytree, save_pytree
 
     log = log or create_stream_logger("train_vos")
     rng = set_random_seed(cfg.seed)
@@ -519,8 +533,27 @@ def run(
     stream = sample_windows(
         registry, sequences, rng, window, robot, round2_prob=round2_prob
     )
+    start_step = 0
+    if resume_path and os.path.exists(resume_path):
+        tree = load_pytree(resume_path)
+        params = tree["params"]
+        # Orbax round-trips optax NamedTuples as dicts; rebuild the typed
+        # structure from a fresh template (same recipe as restore_agent)
+        template = optimizer.init(params)
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(template), jax.tree.leaves(tree["opt_state"])
+        )
+        start_step = int(tree["step"])
+        t0 = time.monotonic()
+        for _ in range(start_step):
+            next(stream)  # host-only: replay the consumed batch draws
+        log.info(
+            f"resumed from {resume_path} at step {start_step} "
+            f"(stream fast-forward {time.monotonic() - t0:.1f}s)"
+        )
+
     loss_meter = AverageMeter()
-    for step in range(1, num_steps + 1):
+    for step in range(start_step + 1, num_steps + 1):
         batch = next(stream)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         params, opt_state, loss = vos_train_step(
@@ -529,10 +562,20 @@ def run(
         loss_meter.update(float(loss))
         if step % 50 == 0 or step == 1:
             log.info(f"step {step}/{num_steps} loss {float(loss):.4f} ({loss_meter.avg:.4f})")
-        if step % save_every == 0 or step == num_steps:
+        if resume_path and step % save_every == 0 and step < num_steps:
+            save_pytree(
+                resume_path,
+                {"params": params, "opt_state": opt_state, "step": step},
+            )
+        elif not resume_path and step % save_every == 0 and step < num_steps:
             save_pytree(
                 os.path.join(cfg.ckpt_dir, f"{ckpt_name}.orbax"), {"params": params}
             )
+    save_pytree(
+        os.path.join(cfg.ckpt_dir, f"{ckpt_name}.orbax"), {"params": params}
+    )
+    if resume_path and os.path.exists(resume_path):
+        shutil.rmtree(resume_path)
     return {"loss_avg": loss_meter.avg, "params": params}
 
 

@@ -151,9 +151,13 @@ def stage_tapnet(reg, force):
     cfg = base_config()
     # appearance training draws from the 160-clip generator pool, never the
     # fixed eval clips — a from-scratch net memorises 12 clips (measured)
+    # resume_path: snapshot every 500 steps so a killed run (session cut,
+    # host restart) loses minutes, not the whole stage; the stage-complete
+    # marker stays the final checkpoint, so skip-if-exists logic is unchanged
     train_vos.run(
         cfg, registry=training_pool(), num_steps=VOS_STEPS, window=5, lr=3e-4,
-        save_every=VOS_STEPS, round2_prob=0.5,
+        save_every=500, round2_prob=0.5,
+        resume_path=os.path.join(CKPT_DIR, f"{VOS_NAME}.partial.orbax"),
     )
 
 

@@ -1,6 +1,8 @@
 """TAPNet native trainer: loss decreases and trained weights beat random
 init on held-out synthetic clips."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -244,6 +246,63 @@ def test_trained_family_round2_beats_round1(tmp_path, family):
     # demand improvement on a majority of clips (the un-tuned 150-step
     # budget leaves one clip of slack vs tapnet's all-3 requirement)
     assert improved >= 2, (family, improved)
+
+
+def test_resume_matches_uninterrupted_run(registry, tmp_path, monkeypatch):
+    """Mid-stage snapshot/resume: kill a run after 3 steps, resume it, and
+    the final params must be BITWISE identical to an uninterrupted run
+    (the resume fast-forwards the deterministic window stream, so the
+    pipeline's bit-reproducibility survives interruption)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivosw_tpu.models.vos.tapnet import init_tapnet_params
+
+    def make_cfg(name):
+        cfg = Config(seed=0)
+        cfg.data.subset = "train"
+        cfg.ckpt_dir = str(tmp_path / name)
+        return cfg
+
+    steps, every = 8, 2
+    ref = train_vos.run(
+        make_cfg("straight"), registry=registry, num_steps=steps, window=3,
+        lr=3e-4, params=init_tapnet_params(0, hw=(48, 64)), save_every=every,
+        resume_path=str(tmp_path / "straight_partial.orbax"),
+    )
+
+    rp = str(tmp_path / "partial.orbax")
+    calls = {"n": 0}
+    orig = train_vos.vos_train_step
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise KeyboardInterrupt
+        return orig(*a, **k)
+
+    monkeypatch.setattr(train_vos, "vos_train_step", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        train_vos.run(
+            make_cfg("interrupted"), registry=registry, num_steps=steps,
+            window=3, lr=3e-4, params=init_tapnet_params(0, hw=(48, 64)),
+            save_every=every, resume_path=rp,
+        )
+    monkeypatch.setattr(train_vos, "vos_train_step", orig)
+    assert os.path.exists(rp)  # the step-2 snapshot survived the kill
+
+    resumed = train_vos.run(
+        make_cfg("interrupted"), registry=registry, num_steps=steps,
+        window=3, lr=3e-4, params=init_tapnet_params(0, hw=(48, 64)),
+        save_every=every, resume_path=rp,
+    )
+    assert not os.path.exists(rp)  # completion removes the snapshot
+    assert (tmp_path / "interrupted" / "tapnet.orbax").exists()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(jnp.asarray(a), jnp.asarray(b)),
+        ref["params"],
+        resumed["params"],
+    )
 
 
 def test_pretrain_assess_pretext(registry, tmp_path):
