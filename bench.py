@@ -66,58 +66,32 @@ def _sync(jnp, out):
     return float(jnp.asarray(leaf).reshape(-1)[0])
 
 
-def _bench_crop_paths(jax, jnp, frames, probs):
-    """Time the flagship T×O ROI crop: XLA einsum path vs pallas kernel.
+def _probe_mosaic(jax) -> str:
+    """Compile the production pallas kernels on tiny shapes in a SUBPROCESS.
 
-    The pallas kernel only runs after a subprocess probe proves this image's
-    Mosaic remote-compile service is healthy (it has been observed to hang;
-    a hang here would stall the whole bench)."""
-    import functools
+    This image's Mosaic remote-compile service has been observed to hang or
+    500 intermittently; a hang inside the bench process would stall the whole
+    run, so health is probed out-of-process first. Returns '' when healthy,
+    else a skip reason."""
     import os
     import subprocess
     import sys
 
-    from ivosw_tpu.kernels.roi_pallas import (
-        roi_crop_pairs_einsum,
-        roi_crop_pairs_pallas,
-    )
-    from ivosw_tpu.ops.roi import mask_to_yxhw
-
-    t, o = probs.shape[0], probs.shape[1]
-    h, w = frames.shape[1], frames.shape[2]
-    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
-    yxhw = mask_to_yxhw(tm, scale=1.5)
-
-    def time_fn(fn):
-        out = fn(frames, probs, yxhw)
-        _sync(jnp, out)
-        tic = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(frames, probs, yxhw)
-        _sync(jnp, out)
-        return (time.perf_counter() - tic) / ITERS
-
-    einsum_fn = jax.jit(functools.partial(roi_crop_pairs_einsum, out_size=256))
-    detail = {"einsum_ms": round(time_fn(einsum_fn) * 1e3, 2)}
-    einsum_bf16_fn = jax.jit(
-        functools.partial(roi_crop_pairs_einsum, out_size=256, dtype=jnp.bfloat16)
-    )
-    detail["einsum_bf16_ms"] = round(time_fn(einsum_bf16_fn) * 1e3, 2)
-
     if jax.default_backend() != "tpu":
-        detail["pallas"] = "skipped: not a TPU backend"
-        return detail
+        return "skipped: not a TPU backend"
     probe = (
         "import numpy as np, jax, jax.numpy as jnp\n"
         "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_ivosw_bench')\n"
-        "from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_pallas\n"
+        "from ivosw_tpu.kernels.roi_pallas import (\n"
+        "    roi_crop_pairs_pallas, roi_crop_pairs_pallas_fusedbox)\n"
         "from ivosw_tpu.ops.roi import mask_to_yxhw\n"
         "rng = np.random.default_rng(0)\n"
         "frames = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)\n"
         "probs = jnp.asarray(rng.random((2, 1, 64, 64)), jnp.float32)\n"
         "tm = (probs > 0.5).astype(jnp.float32).reshape(2, 64, 64)\n"
         "out = roi_crop_pairs_pallas(frames, probs, mask_to_yxhw(tm, scale=1.5), 64)\n"
-        "jax.block_until_ready(out)\n"
+        "out2 = roi_crop_pairs_pallas_fusedbox(frames, probs, 64, dtype=jnp.bfloat16)\n"
+        "jax.block_until_ready((out, out2))\n"
         "print('PALLAS_PROBE_OK')\n"
     )
     env = dict(os.environ)
@@ -132,17 +106,74 @@ def _bench_crop_paths(jax, jnp, frames, probs):
             env=env,
         )
     except subprocess.TimeoutExpired:
-        detail["pallas"] = "skipped: Mosaic remote compile hung"
-        return detail
+        return "skipped: Mosaic remote compile hung"
     if "PALLAS_PROBE_OK" not in proc.stdout:
-        detail["pallas"] = f"skipped: probe failed: {proc.stderr[-200:]}"
+        return f"skipped: probe failed: {proc.stderr[-200:]}"
+    return ""
+
+
+def _bench_crop_paths(jax, jnp, frames, probs, pallas_skip_reason):
+    """Time the flagship T×O bbox+crop stage: XLA einsum paths vs pallas
+    kernels. einsum*/pallas_bf16 rows time the CROP alone (boxes precomputed);
+    *_with_bbox rows time the full stage a scoring round actually pays."""
+    import functools
+
+    from ivosw_tpu.kernels.roi_pallas import (
+        roi_crop_pairs_einsum,
+        roi_crop_pairs_from_probs,
+        roi_crop_pairs_pallas,
+        roi_crop_pairs_pallas_fusedbox,
+    )
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    t, o = probs.shape[0], probs.shape[1]
+    h, w = frames.shape[1], frames.shape[2]
+    tm = (probs > 0.5).astype(jnp.float32).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(tm, scale=1.5)
+
+    def time_fn(fn, *args):
+        out = fn(*args)
+        _sync(jnp, out)
+        tic = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        _sync(jnp, out)
+        return (time.perf_counter() - tic) / ITERS
+
+    einsum_fn = jax.jit(functools.partial(roi_crop_pairs_einsum, out_size=256))
+    detail = {"einsum_ms": round(time_fn(einsum_fn, frames, probs, yxhw) * 1e3, 2)}
+    einsum_bf16_fn = jax.jit(
+        functools.partial(roi_crop_pairs_einsum, out_size=256, dtype=jnp.bfloat16)
+    )
+    detail["einsum_bf16_ms"] = round(
+        time_fn(einsum_bf16_fn, frames, probs, yxhw) * 1e3, 2
+    )
+    # full stage (threshold + bbox reductions + crop), the per-round cost
+    einsum_full_fn = jax.jit(
+        functools.partial(
+            roi_crop_pairs_from_probs, out_size=256, dtype=jnp.bfloat16,
+            impl="einsum",
+        )
+    )
+    detail["einsum_bf16_with_bbox_ms"] = round(
+        time_fn(einsum_full_fn, frames, probs) * 1e3, 2
+    )
+
+    if pallas_skip_reason:
+        detail["pallas"] = pallas_skip_reason
         return detail
     # bf16 is the pallas production dtype (score_clip's request); the f32
     # block path exceeds scoped VMEM at 480p (C=4 f32 blocks, measured)
     pallas_fn = functools.partial(
         roi_crop_pairs_pallas, out_size=256, dtype=jnp.bfloat16
     )
-    detail["pallas_bf16_ms"] = round(time_fn(pallas_fn) * 1e3, 2)
+    detail["pallas_bf16_ms"] = round(time_fn(pallas_fn, frames, probs, yxhw) * 1e3, 2)
+    fusedbox_fn = functools.partial(
+        roi_crop_pairs_pallas_fusedbox, out_size=256, dtype=jnp.bfloat16
+    )
+    detail["pallas_fusedbox_with_bbox_ms"] = round(
+        time_fn(fusedbox_fn, frames, probs) * 1e3, 2
+    )
     return detail
 
 
@@ -184,11 +215,17 @@ def main():
     folded_vars = fold_assess_variables(assess_vars)
     brain_params = init_brain_params(jax.random.PRNGKey(1))
 
+    # Mosaic health gates every pallas timing (probe once, in a subprocess)
+    pallas_skip_reason = _probe_mosaic(jax)
+
     # ------------------------------------------------------ fused program --
     # production inference path: BN-folded encoder (eval folds at load time)
-    @jax.jit
-    def fused_round(folded_vars, brain_params, frames, probs, obj_valid, counts):
-        scores = score_clip_folded(folded_vars, frames, probs, obj_valid)
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("impl",))
+    def fused_round(folded_vars, brain_params, frames, probs, obj_valid, counts,
+                    impl="einsum"):
+        scores = score_clip_folded(folded_vars, frames, probs, obj_valid, impl=impl)
         quality = mean_object_quality(scores, obj_valid)
         state = jnp.stack([quality, counts], axis=1)[None]
         return brain_forward(brain_params, state)[0], quality
@@ -196,21 +233,29 @@ def main():
     # live-BN variant (the training-compatible graph) kept as a detail row
     @jax.jit
     def fused_round_bn(assess_vars, brain_params, frames, probs, obj_valid, counts):
-        scores = score_clip(assess_vars, frames, probs, obj_valid)
+        scores = score_clip(assess_vars, frames, probs, obj_valid, impl="einsum")
         quality = mean_object_quality(scores, obj_valid)
         state = jnp.stack([quality, counts], axis=1)[None]
         return brain_forward(brain_params, state)[0], quality
 
-    def time_round(fn, vars_):
+    def time_round(fn, vars_, **kw):
         for _ in range(WARMUP):
-            _sync(jnp, fn(vars_, brain_params, frames, probs, obj_valid, counts))
+            _sync(jnp, fn(vars_, brain_params, frames, probs, obj_valid, counts, **kw))
         tic = time.perf_counter()
         for _ in range(ITERS):
-            out = fn(vars_, brain_params, frames, probs, obj_valid, counts)
+            out = fn(vars_, brain_params, frames, probs, obj_valid, counts, **kw)
         _sync(jnp, out)
         return (time.perf_counter() - tic) / ITERS
 
     fused_time = time_round(fused_round, folded_vars)
+    fused_impl = "einsum"
+    fused_pallas_time = None
+    if not pallas_skip_reason:
+        # same program with the fused-bbox pallas kernel for the box+crop
+        # stage; the headline takes whichever impl wins on this chip today
+        fused_pallas_time = time_round(fused_round, folded_vars, impl="pallas")
+        if fused_pallas_time < fused_time:
+            fused_time, fused_impl = fused_pallas_time, "pallas"
     fused_bn_time = time_round(fused_round_bn, assess_vars)
     fused_fps = T / fused_time
 
@@ -247,8 +292,19 @@ def main():
     ref_fps = T / ref_time
 
     # ------------------- crop path: pallas kernel vs einsum (detail) ------
-    crop_detail = _bench_crop_paths(jax, jnp, frames, probs)
+    crop_detail = _bench_crop_paths(jax, jnp, frames, probs, pallas_skip_reason)
 
+    detail = {
+        "fused_ms_per_round": round(fused_time * 1e3, 2),
+        "fused_impl": fused_impl,
+        "fused_live_bn_ms_per_round": round(fused_bn_time * 1e3, 2),
+        "reference_style_ms_per_round": round(ref_time * 1e3, 2),
+        "clip": {"T": T, "O": O, "H": H, "W": W},
+        "device": str(jax.devices()[0]),
+        "crop": crop_detail,
+    }
+    if fused_pallas_time is not None:
+        detail["fused_pallas_ms_per_round"] = round(fused_pallas_time * 1e3, 2)
     print(
         json.dumps(
             {
@@ -256,14 +312,7 @@ def main():
                 "value": round(fused_fps, 2),
                 "unit": "frames/s (480p, 3 objects, QA+Q-values per frame)",
                 "vs_baseline": round(fused_fps / ref_fps, 2),
-                "detail": {
-                    "fused_ms_per_round": round(fused_time * 1e3, 2),
-                    "fused_live_bn_ms_per_round": round(fused_bn_time * 1e3, 2),
-                    "reference_style_ms_per_round": round(ref_time * 1e3, 2),
-                    "clip": {"T": T, "O": O, "H": H, "W": W},
-                    "device": str(jax.devices()[0]),
-                    "crop": crop_detail,
-                },
+                "detail": detail,
             }
         )
     )

@@ -234,6 +234,188 @@ def roi_crop_pairs_pallas(
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
+def _bbox_minmax_inkernel(prob, h, w, scale, min_side):
+    """In-kernel f32 ROI box from a [H, W] probability block.
+
+    Exact transcription of ``ops.roi.mask_to_yxhw`` composed with
+    ``yxhw_to_minmax`` — same op sequence in f32 so boxes match the XLA
+    path bit-for-bit. The threshold is ``prob > 0.5`` on the f32 block,
+    matching what score_clip feeds mask_to_yxhw (reference box rules:
+    models/assessment.py:110-161)."""
+    mask = (prob > 0.5).astype(jnp.bfloat16)  # exact 0/1; half the VMEM
+    rows = jnp.max(mask, axis=1, keepdims=True).astype(jnp.float32)  # [H,1]
+    cols = jnp.max(mask, axis=0, keepdims=True).astype(jnp.float32)  # [1,W]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    big = jnp.float32(1e9)
+    ymin = jnp.min(jnp.where(rows > 0, iota_h, big))
+    ymax = jnp.max(jnp.where(rows > 0, iota_h, -big))
+    xmin = jnp.min(jnp.where(cols > 0, iota_w, big))
+    xmax = jnp.max(jnp.where(cols > 0, iota_w, -big))
+    any_fg = jnp.max(rows) > 0
+
+    # empty mask => whole image (reference: ymax = H, xmax = W)
+    ymin = jnp.where(any_fg, ymin, 0.0)
+    ymax = jnp.where(any_fg, ymax, jnp.float32(h))
+    xmin = jnp.where(any_fg, xmin, 0.0)
+    xmax = jnp.where(any_fg, xmax, jnp.float32(w))
+
+    def expand(lo, hi):
+        res = min_side - (hi - lo)
+        half = jnp.floor(res / 2.0)
+        lo2 = jnp.where(res > 0, lo - half, lo)
+        hi2 = jnp.where(res > 0, hi + half, hi)
+        return lo2, hi2
+
+    ymin, ymax = expand(ymin, ymax)
+    xmin, xmax = expand(xmin, xmax)
+
+    orig_h = ymax - ymin + 1.0
+    orig_w = xmax - xmin + 1.0
+    grow = (scale - 1.0) / 2.0
+    ymin = jnp.maximum(-5.0, ymin - grow * orig_h)
+    ymax = jnp.minimum(jnp.float32(h) + 5.0, ymax + grow * orig_h)
+    xmin = jnp.maximum(-5.0, xmin - grow * orig_w)
+    xmax = jnp.minimum(jnp.float32(w) + 5.0, xmax + grow * orig_w)
+
+    # yxhw_to_minmax composition, kept as the same f32 op sequence
+    y = (ymax + ymin) / 2.0
+    x = (xmax + xmin) / 2.0
+    hh = ymax - ymin + 1.0
+    ww = xmax - xmin + 1.0
+    return y - hh / 2.0, y + hh / 2.0, x - ww / 2.0, x + ww / 2.0
+
+
+def _mats_from_scalars(ymin, ymax, xmin, xmax, h, w, s):
+    steps = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(jnp.float32) / (s - 1)
+    )
+    ycoords = ymin + (ymax - ymin) * steps
+    xcoords = xmin + (xmax - xmin) * steps
+    hsrc = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1).astype(jnp.float32)
+    wsrc = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(ycoords - hsrc))  # [S, H]
+    rx = jnp.maximum(0.0, 1.0 - jnp.abs(xcoords - wsrc))  # [S, W]
+    return ry, rx
+
+
+def _pair_kernel_fusedbox(
+    frame_ref, prob_ref, out_ref, *, h, w, s, dtype, scale, min_side
+):
+    """grid = (T*O,): bbox + matrices + crop fused — the prob block is read
+    ONCE from HBM and serves both the box reductions and the crop contraction.
+    The standalone bbox pass over the full [T, O, H, W] tensor (~5 ms of the
+    480p scoring round, profile_fused.json) disappears entirely. The prob
+    block streams in as f32 so the >0.5 threshold is exact (identical boxes
+    to the XLA mask_to_yxhw path); the dot inputs are cast to ``dtype``
+    in-register."""
+    prob = prob_ref[0, 0]  # [H, W] f32
+    ymin, ymax, xmin, xmax = _bbox_minmax_inkernel(prob, h, w, scale, min_side)
+    ry, rx = _mats_from_scalars(ymin, ymax, xmin, xmax, h, w, s)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    ry = ry.astype(dtype)
+    rx = rx.astype(dtype)
+    dn = (((1,), (1,)), ((), ()))
+
+    def crop2d(img):
+        tmp = jnp.dot(
+            ry, img, precision=prec, preferred_element_type=jnp.float32
+        ).astype(dtype)  # [S, W]
+        return jax.lax.dot_general(
+            tmp, rx, dn, precision=prec, preferred_element_type=jnp.float32
+        ).astype(dtype)  # [S, S]
+
+    for ch in range(3):
+        out_ref[0, ch] = crop2d(frame_ref[0, ch])
+    out_ref[0, 3] = crop2d(prob.astype(dtype))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "dtype", "interpret", "scale", "min_side")
+)
+def roi_crop_pairs_pallas_fusedbox(
+    frames: jnp.ndarray,  # [T, H, W, 3]
+    probs: jnp.ndarray,  # [T, O, H, W] float32
+    out_size: int = ROI_S,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    scale: float = 1.5,
+    min_side: float = 128.0,
+) -> jnp.ndarray:
+    """T×O pair crops with the ROI boxes computed IN-KERNEL from the prob
+    blocks: → [T*O, S, S, 4]. vs roi_crop_pairs_pallas, this removes (a) the
+    separate XLA bbox program reading the full prob tensor, and (b) the
+    materialised bf16 copy of ``probs`` (the kernel streams the f32 planes
+    and casts in-register) — at 480p/64f/3obj that is ~470 MB less HBM
+    traffic per scoring round."""
+    t, h, w, _ = frames.shape
+    o = probs.shape[1]
+    s = out_size
+    frames_chw = jnp.transpose(frames, (0, 3, 1, 2)).astype(dtype)
+
+    kern = functools.partial(
+        _pair_kernel_fusedbox, h=h, w=w, s=s, dtype=dtype,
+        scale=scale, min_side=min_side,
+    )
+    grid_spec = pl.GridSpec(
+        grid=(t * o,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, h, w), lambda i: (i // o, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, h, w),
+                lambda i: (i // o, i % o, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, s, s), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    itemsize = jnp.dtype(dtype).itemsize
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((t * o, 4, s, s), dtype),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * o * (s * h * w + s * s * w) * 4,
+            bytes_accessed=t * 3 * h * w * itemsize  # frames, reused across O
+            + t * o * h * w * 4  # f32 prob planes, once each
+            + t * o * 4 * s * s * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(frames_chw, probs.astype(jnp.float32))
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def roi_crop_pairs_from_probs(
+    frames, probs, out_size: int = ROI_S, dtype=jnp.float32, impl: str = "auto"
+):
+    """Flagship scoring-path crop: prob maps → ROI boxes → (tf_roi, tp_roi).
+
+    The single dispatch point for the whole box+crop stage. impl:
+    ``"pallas"`` — fused-bbox kernel (boxes computed in-kernel, prob tensor
+    read once); ``"einsum"`` — XLA mask_to_yxhw reductions + pair-indexed
+    einsums; ``"auto"`` — pallas when IVOSW_ENABLE_PALLAS=1 on a TPU
+    backend, einsum otherwise. All paths share box semantics exactly
+    (f32 ``> 0.5`` threshold, reference expansion rules)."""
+    if impl == "auto":
+        impl = "pallas" if _pallas_enabled() else "einsum"
+    if impl == "pallas":
+        out = roi_crop_pairs_pallas_fusedbox(frames, probs, out_size, dtype=dtype)
+        return out[..., :3], out[..., 3:]
+    if impl != "einsum":
+        raise NotImplementedError(impl)
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    t, o = probs.shape[0], probs.shape[1]
+    h, w = frames.shape[1], frames.shape[2]
+    yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
+    return roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
+
+
 def _pair_kernel_premat(ry_ref, rx_ref, frame_ref, prob_ref, out_ref, *, dtype):
     """Variant with the interpolation matrices computed OUTSIDE the kernel
     (batched XLA iota/abs/max over all pairs) and streamed in as per-pair

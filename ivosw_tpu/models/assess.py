@@ -157,12 +157,13 @@ def assess_forward(
     return model.apply(variables, tf_roi, tp_roi, train=False)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("impl",))
 def score_clip(
     variables: Dict[str, Any],
     frames: jnp.ndarray,
     probs: jnp.ndarray,
     obj_valid: jnp.ndarray,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Score every (frame, object) pair of a clip in one device pass.
 
@@ -171,52 +172,46 @@ def score_clip(
     mask for padded object slots. Returns [T, O] scores with invalid slots
     zeroed. Replaces the per-object host loop of utils/utils_agent.py:103-121.
 
-    The ROI crop goes through :func:`ivosw_tpu.kernels.roi_pallas.
-    roi_crop_pairs` — one code path that contracts each frame ONCE per
-    (t, o) pair (pallas kernel when enabled, pair-indexed einsums
-    otherwise); the frame tensor is never broadcast/materialised at T×O
-    (that would be ~1 GB of HBM traffic at DAVIS scale); only the 256²
-    crops exist per pair.
+    The whole bbox+crop stage goes through :func:`ivosw_tpu.kernels.
+    roi_pallas.roi_crop_pairs_from_probs` — one dispatch point; ``impl``
+    selects the fused-bbox pallas kernel / the XLA einsum path / env-driven
+    auto. The frame tensor is never broadcast/materialised at T×O (that
+    would be ~1 GB of HBM traffic at DAVIS scale); only the 256² crops
+    exist per pair.
     """
-    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs
-    from ivosw_tpu.ops.roi import mask_to_yxhw
+    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_from_probs
 
     t, o = probs.shape[0], probs.shape[1]
-    h, w = frames.shape[1], frames.shape[2]
-    s = ROI_SIZE
-
-    # bool straight into the bbox reductions: same semantics as the two-step
-    # (>0.5 then >=0.49) rule, no [T*O, H, W] f32 plane materialised
-    yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
     # bf16 crop: the encoder consumes bf16 anyway; f32 contractions here
     # would cost 6-pass HIGHEST MXU dots + double the HBM traffic
-    tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, s, dtype=jnp.bfloat16)
+    tf_roi, tp_roi = roi_crop_pairs_from_probs(
+        frames, probs, ROI_SIZE, dtype=jnp.bfloat16, impl=impl
+    )
 
     model = AssessNet(dtype=jnp.bfloat16)
     q = model.apply(variables, tf_roi, tp_roi, train=False)
     return q.reshape(t, o) * obj_valid[None, :]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("impl",))
 def score_clip_folded(
     folded_variables: Dict[str, Any],
     frames: jnp.ndarray,
     probs: jnp.ndarray,
     obj_valid: jnp.ndarray,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """:func:`score_clip` on BN-folded params (see :mod:`ivosw_tpu.models.fold`).
 
     Same contract and (to bf16 tolerance) same numerics; the encoder runs the
     constant-folded graph: bf16 crops feed one 4-channel stem conv, no BN ops,
     no f32 normalisation pass."""
-    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs
-    from ivosw_tpu.ops.roi import mask_to_yxhw
+    from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_from_probs
 
     t, o = probs.shape[0], probs.shape[1]
-    h, w = frames.shape[1], frames.shape[2]
-
-    yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
-    tf_roi, tp_roi = roi_crop_pairs(frames, probs, yxhw, ROI_SIZE, dtype=jnp.bfloat16)
+    tf_roi, tp_roi = roi_crop_pairs_from_probs(
+        frames, probs, ROI_SIZE, dtype=jnp.bfloat16, impl=impl
+    )
 
     model = AssessNet(dtype=jnp.bfloat16, fold=True)
     q = model.apply(folded_variables, tf_roi, tp_roi, train=False)

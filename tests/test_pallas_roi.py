@@ -140,8 +140,9 @@ def test_roi_crop_pairs_pallas_bf16_parity():
 
 
 def test_score_clip_uses_dispatcher(monkeypatch):
-    """score_clip's crop must flow through kernels.roi_pallas.roi_crop_pairs
-    (the single pallas/einsum dispatch point)."""
+    """score_clip's bbox+crop must flow through
+    kernels.roi_pallas.roi_crop_pairs_from_probs (the single pallas/einsum
+    dispatch point for the whole stage)."""
     import jax
     import jax.numpy as jnp
 
@@ -149,13 +150,13 @@ def test_score_clip_uses_dispatcher(monkeypatch):
     from ivosw_tpu.models import assess
 
     calls = {"n": 0}
-    orig = roi_pallas.roi_crop_pairs
+    orig = roi_pallas.roi_crop_pairs_from_probs
 
     def spy(*args, **kwargs):
         calls["n"] += 1
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(roi_pallas, "roi_crop_pairs", spy)
+    monkeypatch.setattr(roi_pallas, "roi_crop_pairs_from_probs", spy)
     variables = assess.init_assess_variables(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
@@ -166,6 +167,100 @@ def test_score_clip_uses_dispatcher(monkeypatch):
     )
     assert calls["n"] == 1
     assert np.asarray(scores).shape == (2, 1)
+
+
+def _fusedbox_fixture():
+    rng = np.random.default_rng(7)
+    t, o, h, w = 3, 2, 96, 128
+    frames = rng.random((t, h, w, 3)).astype(np.float32)
+    probs = np.zeros((t, o, h, w), np.float32)
+    probs[0, 0, 10:60, 12:100] = 0.9
+    probs[1, 1, 40:90, 5:70] = 0.8
+    probs[2, 0, 20:30, 20:40] = 0.7  # small mask -> min-side expansion
+    # (2, 1) stays empty -> whole-image box path
+    # threshold-edge pixels: exactly 0.5 must be EXCLUDED (> 0.5, strict)
+    probs[0, 0, 0:3, 0:3] = 0.5
+    return frames, probs
+
+
+def test_roi_crop_pairs_fusedbox_interpret_parity():
+    """Fused in-kernel bbox kernel == mask_to_yxhw + einsum path, f32 and
+    bf16, including empty-mask, min-side and threshold-edge cases."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret mode: run via scripts/test_cpu.sh")
+    import jax.numpy as jnp
+
+    from ivosw_tpu.kernels.roi_pallas import (
+        roi_crop_pairs_einsum,
+        roi_crop_pairs_pallas_fusedbox,
+    )
+    from ivosw_tpu.ops.roi import mask_to_yxhw
+
+    frames, probs = _fusedbox_fixture()
+    t, o, h, w = probs.shape[0], probs.shape[1], probs.shape[2], probs.shape[3]
+    tm = (probs > 0.5).reshape(t * o, h, w)
+    yxhw = mask_to_yxhw(jnp.asarray(tm), scale=1.5)
+
+    for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 1.6e-2)):
+        tf_ref, tp_ref = roi_crop_pairs_einsum(
+            jnp.asarray(frames), jnp.asarray(probs), yxhw, 64, dtype=dtype
+        )
+        out = roi_crop_pairs_pallas_fusedbox(
+            jnp.asarray(frames), jnp.asarray(probs), 64,
+            dtype=dtype, interpret=True,
+        )
+        assert out.dtype == dtype
+        np.testing.assert_allclose(
+            np.asarray(out[..., :3], np.float32),
+            np.asarray(tf_ref, np.float32),
+            atol=atol,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[..., 3:], np.float32),
+            np.asarray(tp_ref, np.float32),
+            atol=atol,
+        )
+
+
+def test_roi_crop_pairs_from_probs_impl_parity():
+    """The dispatch point: impl='pallas' (interpret) == impl='einsum'."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret mode: run via scripts/test_cpu.sh")
+    import jax.numpy as jnp
+
+    from ivosw_tpu.kernels import roi_pallas
+
+    frames, probs = _fusedbox_fixture()
+    tf_e, tp_e = roi_pallas.roi_crop_pairs_from_probs(
+        jnp.asarray(frames), jnp.asarray(probs), 64,
+        dtype=jnp.bfloat16, impl="einsum",
+    )
+    # route impl='pallas' through the interpreter on CPU
+    orig = roi_pallas.roi_crop_pairs_pallas_fusedbox
+    try:
+        roi_pallas.roi_crop_pairs_pallas_fusedbox = (
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        )
+        tf_p, tp_p = roi_pallas.roi_crop_pairs_from_probs(
+            jnp.asarray(frames), jnp.asarray(probs), 64,
+            dtype=jnp.bfloat16, impl="pallas",
+        )
+    finally:
+        roi_pallas.roi_crop_pairs_pallas_fusedbox = orig
+    np.testing.assert_allclose(
+        np.asarray(tf_p, np.float32), np.asarray(tf_e, np.float32), atol=1.6e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_p, np.float32), np.asarray(tp_e, np.float32), atol=1.6e-2
+    )
+    with pytest.raises(NotImplementedError):
+        roi_pallas.roi_crop_pairs_from_probs(
+            jnp.asarray(frames), jnp.asarray(probs), 64, impl="nope"
+        )
 
 
 def test_roi_crop_pairs_pallas_compiles_on_tpu():
