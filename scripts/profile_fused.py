@@ -60,6 +60,10 @@ def main(argv=None):
     folded = "--folded" in argv or True  # production path; --live-bn to disable
     if "--live-bn" in argv:
         folded = False
+    # --pallas: profile the fused-bbox pallas path (bbox lives inside the
+    # crop kernel, so the bbox prefix is skipped and the crop phase IS the
+    # whole box+crop stage); writes profile_fused_pallas.json
+    pallas = "--pallas" in argv
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((T, H, W, 3)), jnp.float32)
@@ -86,6 +90,12 @@ def main(argv=None):
         return mask_to_yxhw(tm, scale=1.5)
 
     def stage_crop(frames, probs):
+        if pallas:
+            from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_from_probs
+
+            return roi_crop_pairs_from_probs(
+                frames, probs, ROI_SIZE, dtype=jnp.bfloat16, impl="pallas"
+            )
         yxhw = stage_bbox(frames, probs)
         return roi_crop_pairs(frames, probs, yxhw, ROI_SIZE, dtype=jnp.bfloat16)
 
@@ -111,7 +121,7 @@ def main(argv=None):
         return (time.perf_counter() - tic) / ITERS * 1e3  # ms
 
     ms = {
-        "bbox": timed(stage_bbox),
+        "bbox": 0.0 if pallas else timed(stage_bbox),
         "bbox+crop": timed(stage_crop),
         "bbox+crop+encoder": timed(stage_encode),
         "full_round": timed(stage_full),
@@ -140,6 +150,7 @@ def main(argv=None):
     phases["encoder_tflops_per_s"] = round(encoder_tflop / (encoder_plus_q / 1e3), 1)
     out = {
         "clip": {"T": T, "O": O, "H": H, "W": W},
+        "crop_impl": "pallas-fusedbox" if pallas else "einsum",
         "encoder": "folded" if folded else "live-bn",
         "device": str(jax.devices()[0]),
         "phases_ms": phases,
@@ -159,7 +170,8 @@ def main(argv=None):
         out["trace_dir"] = "/tmp/ivosw_trace"
 
     os.makedirs("results", exist_ok=True)
-    with open("results/profile_fused.json", "w") as fp:
+    name = "profile_fused_pallas.json" if pallas else "profile_fused.json"
+    with open(os.path.join("results", name), "w") as fp:
         json.dump(out, fp, indent=2)
     print(json.dumps(out, indent=2))
 
