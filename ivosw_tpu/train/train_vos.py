@@ -135,6 +135,30 @@ def vos_train_step(params, opt_state, batch, optimizer, loss_fn):
     return params, opt_state, loss
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("optimizer", "loss_fn"),
+    donate_argnames=("params", "opt_state"),
+)
+def vos_train_step_dp(params, opt_state, batch, optimizer, loss_fn):
+    """Data-parallel train step: every leaf of ``batch`` carries a leading
+    window axis [B, ...] and the loss is the mean over windows (vmap of the
+    per-window episode loss). With the batch sharded over a ``('data',)``
+    mesh and params replicated, XLA inserts the gradient psum over ICI —
+    no hand-written collectives, per the component #27 policy (SURVEY §5).
+    Numerics note: B windows per step scales the effective batch, not a
+    different objective — mean-of-windows equals the expectation the
+    single-window step samples one draw of."""
+
+    def batch_loss(p, b):
+        return jnp.mean(jax.vmap(lambda one: loss_fn(p, one))(b))
+
+    loss, grads = jax.value_and_grad(batch_loss)(params, batch)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 def _degrade_masks(gt_onehot: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Plausible previous-round probability maps from ground truth.
 
@@ -499,8 +523,17 @@ def run(
     save_every: int = 500,
     round2_prob: float = 0.5,
     resume_path: str | None = None,
+    dp_windows: int = 0,
+    mesh=None,
 ):
     """Train the backbone family selected by ``cfg.vos``.
+
+    ``dp_windows > 1`` turns on data parallelism: each step stacks that many
+    sampled windows and shards them over a ``('data',)`` device mesh
+    (``mesh`` or one spanning all local devices), with params replicated —
+    the gradient all-reduce is XLA's. The reference trains nothing, so this
+    has no counterpart there; it is the scale-out path for the heaviest
+    trainer in the rebuild.
 
     When ``resume_path`` is set, a {params, opt_state, step} snapshot is
     written there every ``save_every`` steps and the final checkpoint lands
@@ -528,6 +561,18 @@ def run(
     if params is None:
         params = init_fn(cfg.seed)
     optimizer = optax.adam(lr)
+
+    use_dp = dp_windows and dp_windows > 1
+    if use_dp:
+        from ivosw_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        mesh = mesh or make_mesh(("data",))
+        if dp_windows % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"dp_windows={dp_windows} must be a multiple of the data-mesh "
+                f"size {mesh.shape['data']}"
+            )
+        params = replicate(mesh, params)
     opt_state = optimizer.init(params)
 
     stream = sample_windows(
@@ -537,6 +582,8 @@ def run(
     if resume_path and os.path.exists(resume_path):
         tree = load_pytree(resume_path)
         params = tree["params"]
+        if use_dp:
+            params = replicate(mesh, params)
         # Orbax round-trips optax NamedTuples as dicts; rebuild the typed
         # structure from a fresh template (same recipe as restore_agent)
         template = optimizer.init(params)
@@ -545,7 +592,7 @@ def run(
         )
         start_step = int(tree["step"])
         t0 = time.monotonic()
-        for _ in range(start_step):
+        for _ in range(start_step * max(int(dp_windows), 1)):
             next(stream)  # host-only: replay the consumed batch draws
         log.info(
             f"resumed from {resume_path} at step {start_step} "
@@ -554,11 +601,21 @@ def run(
 
     loss_meter = AverageMeter()
     for step in range(start_step + 1, num_steps + 1):
-        batch = next(stream)
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        params, opt_state, loss = vos_train_step(
-            params, opt_state, device_batch, optimizer, loss_fn
-        )
+        if use_dp:
+            windows = [next(stream) for _ in range(dp_windows)]
+            batch = {
+                k: np.stack([win[k] for win in windows]) for k in windows[0]
+            }
+            device_batch = shard_batch(mesh, batch)
+            params, opt_state, loss = vos_train_step_dp(
+                params, opt_state, device_batch, optimizer, loss_fn
+            )
+        else:
+            batch = next(stream)
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, loss = vos_train_step(
+                params, opt_state, device_batch, optimizer, loss_fn
+            )
         loss_meter.update(float(loss))
         if step % 50 == 0 or step == 1:
             log.info(f"step {step}/{num_steps} loss {float(loss):.4f} ({loss_meter.avg:.4f})")
@@ -594,6 +651,7 @@ def main(argv=None):
         "lr": float,
         "save_every": int,
         "round2_prob": float,
+        "dp_windows": int,
     }
     run_kwargs = {}
     cfg_overrides = []

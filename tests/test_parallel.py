@@ -61,6 +61,97 @@ def test_sharded_dqn_update_matches_single_device(eight_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
 
 
+def test_dp_vos_train_step_matches_single_device(eight_devices):
+    """The windows-sharded VOS train step must produce the same params and
+    loss as the same stacked batch on one device (grad psum == local mean)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ivosw_tpu.data.registry import SequenceRegistry
+    from ivosw_tpu.interact.robot import ScribbleRobot
+    from ivosw_tpu.models.vos.tapnet import init_tapnet_params
+    from ivosw_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from ivosw_tpu.train.train_vos import (
+        sample_windows,
+        tapnet_window_loss,
+        vos_train_step_dp,
+    )
+    from ivosw_tpu.utils.misc import set_random_seed
+
+    registry = SequenceRegistry.synthetic(
+        ["dpv-a", "dpv-b"], num_frames=6, image_size=(64, 48), num_objects=1,
+        split="train", seed=4,
+    )
+    rng = set_random_seed(0)
+    robot = ScribbleRobot(seed=0)
+    stream = sample_windows(registry, registry.subset("train"), rng, 3, robot)
+    windows = [next(stream) for _ in range(8)]
+    batch = {k: np.stack([w[k] for w in windows]) for k in windows[0]}
+
+    # SGD keeps the param delta LINEAR in the grad delta; Adam's
+    # m/(sqrt(v)+eps) normalisation amplifies f32 roundoff where v ~ 0,
+    # making post-step params meaninglessly sensitive at one-step scale
+    optimizer = optax.sgd(1e-2)
+    params = init_tapnet_params(0, hw=(48, 64))
+
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    p1, _, loss_single = vos_train_step_dp(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), device_batch,
+        optimizer, tapnet_window_loss,
+    )
+
+    mesh = make_mesh(("data",), devices=eight_devices)
+    with mesh:
+        params_r = replicate(mesh, params)
+        opt_state_r = optimizer.init(params_r)
+        batch_s = shard_batch(mesh, batch)
+        p2, _, loss_sharded = vos_train_step_dp(
+            params_r, opt_state_r, batch_s, optimizer, tapnet_window_loss
+        )
+    # per-shard programs (vmap over 1 window vs 8) round differently in
+    # f32: agreement to roundoff scale, not bitwise (measured drift ~2e-5
+    # relative on the loss)
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=2e-4
+    )
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+def test_dp_vos_training_runs_and_learns(eight_devices, tmp_path):
+    """run(dp_windows=8) on the 8-device mesh: trains, checkpoints, and the
+    dp_windows % mesh guard raises on a bad batch size."""
+    import pytest as _pytest
+
+    from ivosw_tpu.core.config import Config
+    from ivosw_tpu.data.registry import SequenceRegistry
+    from ivosw_tpu.train import train_vos
+
+    registry = SequenceRegistry.synthetic(
+        ["dpr-a", "dpr-b"], num_frames=6, image_size=(64, 48), num_objects=1,
+        split="train", seed=5,
+    )
+    from ivosw_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("data",), devices=eight_devices)
+    cfg = Config(seed=0)
+    cfg.data.subset = "train"
+    cfg.ckpt_dir = str(tmp_path / "wdp")
+    stats = train_vos.run(
+        cfg, registry=registry, num_steps=3, window=3, lr=3e-4,
+        save_every=3, dp_windows=8, mesh=mesh,
+    )
+    assert np.isfinite(stats["loss_avg"])
+    assert (tmp_path / "wdp" / "tapnet.orbax").exists()
+
+    with _pytest.raises(ValueError, match="multiple of the data-mesh"):
+        train_vos.run(
+            cfg, registry=registry, num_steps=1, window=3, dp_windows=3,
+            mesh=mesh,
+        )
+
+
 def test_assess_param_shardings_rule(eight_devices):
     import jax
 
