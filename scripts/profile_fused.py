@@ -126,6 +126,27 @@ def main(argv=None):
         "bbox+crop+encoder": timed(stage_encode),
         "full_round": timed(stage_full),
     }
+
+    # bare encoder on synthetic crops: isolates XLA's ResNet-50 conv
+    # efficiency from the crop stage — if this matches the in-program
+    # encoder attribution, the encoder time is XLA's conv ceiling at these
+    # shapes, not a fusion artefact of the crop pipeline
+    crops_f = jnp.asarray(
+        rng.random((T * O, ROI_SIZE, ROI_SIZE, 3)), jnp.bfloat16
+    )
+    crops_p = jnp.asarray(rng.random((T * O, ROI_SIZE, ROI_SIZE, 1)), jnp.bfloat16)
+
+    def bare_encoder(crops_f, crops_p):
+        return model.apply(variables, crops_f, crops_p, train=False)
+
+    f = jax.jit(bare_encoder)
+    _sync(jnp, f(crops_f, crops_p))
+    _sync(jnp, f(crops_f, crops_p))
+    tic = time.perf_counter()
+    for _ in range(ITERS):
+        out = f(crops_f, crops_p)
+    _sync(jnp, out)
+    ms["bare_encoder"] = (time.perf_counter() - tic) / ITERS * 1e3
     # The encoder prefix program can time SLOWER than the full fused round
     # (measured: 61 vs 30 ms): truncating at the [T, O] score output forces
     # a different layout/fusion choice than the full program, so the honest
@@ -139,6 +160,7 @@ def main(argv=None):
         "encoder_prefix_program_ms": round(
             ms["bbox+crop+encoder"] - ms["bbox+crop"], 2
         ),
+        "bare_encoder_ms": round(ms["bare_encoder"], 2),
         "full_round_ms": round(ms["full_round"], 2),
     }
     # MFU estimate: ResNet-50 fwd ≈ 5.4 GFLOP at 256² per (frame, object)
