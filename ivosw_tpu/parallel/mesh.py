@@ -10,17 +10,23 @@ jax.sharding layer:
 - 2-D ``('data', 'model')`` mesh: adds tensor parallelism for AssessNet —
   conv/dense kernels shard on their output-channel axis, so every conv runs
   as a channel-sharded matmul with XLA-inserted collectives.
+- Sequence parallelism (frame axis): :func:`frame_sharded_score_clip` shards
+  a clip's T axis over the mesh for the fused QA scoring pass — the TPU
+  answer to clips that outgrow one chip (SURVEY §5 long-context).
 
 No custom communication layer is justified by this workload; everything
-rides jit + NamedSharding.
+rides jit + NamedSharding + shard_map.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -87,3 +93,56 @@ def assess_param_shardings(mesh: Mesh, variables, model_axis: str = "model"):
 
 def apply_shardings(tree, shardings):
     return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def frame_sharded_score_clip(
+    mesh: Mesh,
+    assess_variables,
+    frames,
+    probs,
+    obj_valid,
+    axis: str = "data",
+    impl: str = "auto",
+):
+    """Sequence-parallel fused QA scoring: shard the clip's frame axis.
+
+    The reference scores frames through a per-object host loop on one GPU
+    (`utils/utils_agent.py:103-121`); its only answer to long clips is to
+    subsample them (SURVEY §5). The TPU-native answer is to shard T over
+    ICI-connected chips: scoring is per-(frame, object) independent, so
+    under ``shard_map`` each chip crops+encodes its own frame slab with
+    replicated AssessNet params and the only communication is the [T, O]
+    result gather XLA inserts at the output. T is padded device-side to a
+    multiple of the mesh axis and the pad rows dropped.
+
+    frames: [T, H, W, 3]; probs: [T, O, H, W] (background already dropped);
+    obj_valid: [O]. Returns [T, O] scores identical (bf16 tolerance) to the
+    single-device :func:`ivosw_tpu.models.assess.score_clip`.
+    """
+    from ivosw_tpu.models.assess import score_clip, score_clip_folded
+
+    # BN-folded trees carry the fused 4-channel stem and no batch_stats —
+    # same routing rule as interact/recommend.py::predict_clip_quality
+    score = (
+        score_clip_folded
+        if "conv_stem" in assess_variables.get("params", {})
+        else score_clip
+    )
+
+    n = mesh.shape[axis]
+    t = frames.shape[0]
+    pad = (-t) % n
+    if pad:
+        frames = jnp.pad(frames, [(0, pad)] + [(0, 0)] * 3)
+        probs = jnp.pad(probs, [(0, pad)] + [(0, 0)] * 3)
+
+    sharded = shard_map(
+        functools.partial(score, impl=impl),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    frames = jax.device_put(frames, NamedSharding(mesh, P(axis, None, None, None)))
+    probs = jax.device_put(probs, NamedSharding(mesh, P(axis, None, None, None)))
+    return sharded(assess_variables, frames, probs, obj_valid)[:t]

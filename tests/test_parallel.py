@@ -211,3 +211,37 @@ def test_dp_eval_sweep_equals_single_device(eight_devices, tmp_path, method):
     with open(tmp_path / "dp" / "summary.json") as fp:
         on_disk = _json.load(fp)
     assert on_disk["auc"] == pytest.approx(single["auc"], abs=1e-12)
+
+
+def test_frame_sharded_score_clip_matches_single_device(eight_devices):
+    """SP: T sharded over 8 chips == unsharded scoring, incl. a ragged T
+    that forces device-side padding (T=11 over 8 shards)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivosw_tpu.models.assess import (
+        init_assess_variables,
+        score_clip,
+        score_clip_folded,
+    )
+    from ivosw_tpu.models.fold import fold_assess_variables
+    from ivosw_tpu.parallel.mesh import frame_sharded_score_clip, make_mesh
+
+    mesh = make_mesh(("data",), devices=eight_devices)
+    rng = np.random.default_rng(3)
+    t, o, h, w = 11, 2, 40, 48
+    frames = jnp.asarray(rng.random((t, h, w, 3)), jnp.float32)
+    probs = jnp.asarray(rng.random((t, o, h, w)), jnp.float32)
+    obj_valid = jnp.ones((o,), jnp.float32)
+
+    for variables in (
+        init_assess_variables(jax.random.PRNGKey(0)),
+        fold_assess_variables(init_assess_variables(jax.random.PRNGKey(0))),
+    ):
+        single = score_clip if "batch_stats" in variables else score_clip_folded
+        ref = np.asarray(single(variables, frames, probs, obj_valid))
+        sp = np.asarray(
+            frame_sharded_score_clip(mesh, variables, frames, probs, obj_valid)
+        )
+        assert sp.shape == (t, o)
+        np.testing.assert_allclose(sp, ref, atol=2e-2)
