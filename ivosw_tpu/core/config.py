@@ -71,6 +71,10 @@ class AssessNetConfig:
     # scoring path (inference-only graph; bf16-tolerance parity with the
     # live-BN forward — ivosw_tpu/models/fold.py). Pure perf knob.
     fold_inference: bool = True
+    # frames per compiled block in the fused wild scoring pass; 0 = module
+    # default (interact/recommend.py::FRAME_CHUNK). Pure perf knob: larger
+    # chunks amortise dispatch, smaller ones waste less tail padding
+    score_chunk: int = 0
 
 
 @dataclass
@@ -119,6 +123,13 @@ class Config:
     # many devices (evaluate_dp); the merged curve equals the single-device
     # one (no reference equivalent: it is strictly single-GPU)
     eval_dp_shards: int = 1
+    # >1: sequence-parallel wild scoring — every AssessNet scoring chunk has
+    # its FRAME axis sharded over this many devices
+    # (parallel/mesh.py::frame_sharded_score_clip); scores equal the
+    # single-device pass. Exclusive with eval_dp_shards>1 (DP already owns
+    # the devices, one sequence per shard). No reference equivalent: its
+    # only answer to long clips is subsampling (SURVEY §5)
+    eval_sp_shards: int = 1
 
     data: DataConfig = field(default_factory=DataConfig)
     davis_interactive: DavisInteractiveConfig = field(

@@ -314,6 +314,11 @@ def evaluate_dp(
 
 def build_and_evaluate(cfg: Config, overrides_done: bool = True, overwrite: bool = False):
     """Config-driven wiring: registry + backbone + (agent, assess_net)."""
+    if cfg.eval_dp_shards > 1 and cfg.eval_sp_shards > 1:
+        raise ValueError(
+            "eval_dp_shards and eval_sp_shards are exclusive: DP assigns one "
+            "sequence per device; SP shards one sequence's frames over them"
+        )
     from ivosw_tpu.data.registry import registry_from_config
     from ivosw_tpu.eval.backbones import build_backbone
     from ivosw_tpu.models.agent import Agent

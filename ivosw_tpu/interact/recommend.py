@@ -25,6 +25,37 @@ from ivosw_tpu.data.replay import Transition
 
 FRAME_CHUNK = 32
 
+# meshes for the sequence-parallel scoring path, cached per shard count so
+# the eval loop builds each mesh once (cfg.eval_sp_shards > 1)
+_SP_MESHES: Dict[int, object] = {}
+
+
+def _sp_mesh(n_shards: int):
+    """1-D ('data',) mesh over the first ``n_shards`` devices, or None.
+
+    Backs the production sequence-parallel wild-scoring path: with
+    ``cfg.eval_sp_shards > 1`` every :func:`predict_clip_quality` chunk has
+    its frame axis sharded over this mesh
+    (:func:`ivosw_tpu.parallel.mesh.frame_sharded_score_clip`).
+    """
+    n = int(n_shards)
+    if n <= 1:
+        return None
+    mesh = _SP_MESHES.get(n)
+    if mesh is None:
+        import jax
+
+        from ivosw_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < n:
+            raise ValueError(
+                f"eval_sp_shards={n} but only {len(devices)} devices visible"
+            )
+        mesh = make_mesh(("data",), devices=devices[:n])
+        _SP_MESHES[n] = mesh
+    return mesh
+
 
 # ----------------------------------------------------------------- reward --
 class RewardTable:
@@ -188,7 +219,8 @@ def predict_clip_quality(
     all_F: np.ndarray,
     all_P: np.ndarray,
     n_objects: int,
-    chunk: int = FRAME_CHUNK,
+    chunk: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Predicted quality for every frame of a clip, fused on device.
 
@@ -196,7 +228,17 @@ def predict_clip_quality(
     with background channel 0 (adapter output). Returns (per-frame mean
     quality [T], per-object scores [T, n_objects]). Frames are processed in
     fixed-size chunks so one compiled program serves every clip length.
+
+    mesh: optional 1-D ('data',) jax mesh — each chunk's frame axis is then
+    sharded over its devices (sequence parallelism; params replicated, only
+    the [chunk, O] result gathered). Chunk shapes stay static, so the
+    sharded program also compiles once per clip geometry.
+
+    chunk: frames per compiled block; None → FRAME_CHUNK (a larger chunk
+    amortises dispatch at the cost of tail padding — tunable per run via
+    cfg.assess_net.score_chunk).
     """
+    chunk = int(chunk) if chunk else FRAME_CHUNK
     import jax.numpy as jnp
 
     from ivosw_tpu.models.assess import score_clip, score_clip_folded
@@ -224,7 +266,14 @@ def predict_clip_quality(
         if n < chunk:  # pad tail to the static chunk shape (device-side)
             f_chunk = jnp.pad(f_chunk, [(0, chunk - n)] + [(0, 0)] * 3)
             p_chunk = jnp.pad(p_chunk, [(0, chunk - n)] + [(0, 0)] * 3)
-        s = score_clip(assess_variables, f_chunk, p_chunk, obj_valid)
+        if mesh is not None:
+            from ivosw_tpu.parallel.mesh import frame_sharded_score_clip
+
+            s = frame_sharded_score_clip(
+                mesh, assess_variables, f_chunk, p_chunk, obj_valid
+            )
+        else:
+            s = score_clip(assess_variables, f_chunk, p_chunk, obj_valid)
         chunks.append(s[:n])
     scores = np.asarray(jnp.concatenate(chunks, axis=0), dtype=np.float32)
     return scores.mean(axis=1), scores
@@ -300,7 +349,12 @@ def recommend_frame(
             return int(next_frame)
         if method in ("worst", "ours"):
             pred_quality, _ = predict_clip_quality(
-                assess_variables, all_F, all_P, n_objects
+                assess_variables,
+                all_F,
+                all_P,
+                n_objects,
+                chunk=int(getattr(cfg.assess_net, "score_chunk", 0)) or None,
+                mesh=_sp_mesh(getattr(cfg, "eval_sp_shards", 1)),
             )
             pred_quality = smooth_clip_quality(
                 pred_quality, int(getattr(cfg.assess_net, "smooth_quality", 1))

@@ -245,3 +245,48 @@ def test_frame_sharded_score_clip_matches_single_device(eight_devices):
         )
         assert sp.shape == (t, o)
         np.testing.assert_allclose(sp, ref, atol=2e-2)
+
+
+def test_eval_sp_shards_production_path(eight_devices):
+    """cfg.eval_sp_shards is a production knob: the wild worst-policy
+    recommendation through recommend_frame must pick the same frame and
+    write the same predicted-quality state with the chunk frame axis
+    sharded over 8 devices as unsharded; the DP+SP combination is refused
+    at the eval entry point."""
+    import jax
+    import pytest as _pytest
+
+    from ivosw_tpu.core.config import Config
+    from ivosw_tpu.interact import recommend
+    from ivosw_tpu.models.assess import init_assess_variables
+
+    rng = np.random.default_rng(11)
+    t, o, h, w = 6, 2, 40, 48
+    frames = rng.random((t, h, w, 3)).astype(np.float32)
+    probs = np.zeros((t, o + 1, h, w), dtype=np.float32)
+    probs[:, 1, 8:24, 10:36] = 0.9
+    probs[:, 2, 20:36, 24:44] = 0.8
+    variables = init_assess_variables(jax.random.PRNGKey(0))
+
+    picks, states = [], []
+    for shards in (1, 8):
+        cfg = Config(setting="wild", method="worst", eval_sp_shards=shards)
+        cfg.assess_net.score_chunk = 8  # small static block: cheap on CPU
+        state = np.zeros((t,), dtype=np.float32)
+        pick = recommend.recommend_frame(
+            cfg, variables, None, t, o, frames, probs,
+            new_masks_quality=np.zeros((t,), np.float32),
+            prev_frames=[0], annotated_frames_list=[0], mask_quality=state,
+            first_frame=0, max_nb_interactions=3,
+            rng=np.random.default_rng(0),
+        )
+        picks.append(pick)
+        states.append(state.copy())
+    assert picks[0] == picks[1]
+    np.testing.assert_allclose(states[1], states[0], atol=2e-2)
+
+    from ivosw_tpu.eval.eval_agent import build_and_evaluate
+
+    bad = Config(eval_dp_shards=2, eval_sp_shards=2, vos="fake")
+    with _pytest.raises(ValueError, match="exclusive"):
+        build_and_evaluate(bad)
