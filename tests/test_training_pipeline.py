@@ -203,7 +203,7 @@ def test_wild_finetune_records_predicted_states(registry, tmp_path, monkeypatch)
 
     marker = 0.123  # recognisably not a FakeVOS J&F value
 
-    def fake_predict(assess_variables, all_F, all_P, n_objects):
+    def fake_predict(assess_variables, all_F, all_P, n_objects, **kwargs):
         t = all_P.shape[0]
         return np.full(t, marker, dtype=np.float32), None
 
