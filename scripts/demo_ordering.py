@@ -181,6 +181,16 @@ def _qa_registry_stamp():
 def stage_qadata(reg, force):
     from ivosw_tpu.train import generate_qa_data
 
+    # the dumps exist ONLY to feed stage_assess (probe_qa scores val clips
+    # live, no dumps); on a fresh host where the trained assess checkpoint
+    # was committed/restored but the bulky dump tree was not, regenerating
+    # ~1 h of PNGs would be pure waste
+    assess_out = os.path.join(CKPT_DIR, "assess_net.orbax")
+    if os.path.exists(assess_out) and not os.path.isdir(QA_DIR) and not force:
+        return log.info(
+            "skip qadata (assess_net checkpoint exists and no dump tree; "
+            "dumps only feed stage_assess)"
+        )
     pool = training_pool()
     cfg = generate_qa_data.configure(base_config())
     stamp_path = os.path.join(QA_DIR, "registry_stamp.json")
