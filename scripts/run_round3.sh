@@ -11,6 +11,11 @@
 # process must be recycled at stage boundaries (CLAUDE.md). Stages are
 # resumable — rerunning this script skips completed artifacts.
 #
+# Training state is COMMITTED as it lands (stage boundaries + a 5-min
+# periodic loop): builder hosts reset between sessions, and uncommitted
+# checkpoints die with the host. Orbax saves are atomic (tmp dir + rename;
+# tmp dirs are gitignored), so a periodic add never sees a torn checkpoint.
+#
 # Records the REAL shell pid (not a nohup wrapper's) in /tmp/r3_pipeline.pid
 # so the run can be killed cleanly: kill $(cat /tmp/r3_pipeline.pid) stops
 # the loop at the next stage boundary; kill the python pid in
@@ -20,6 +25,19 @@ set -u
 cd "$(dirname "$0")/.."
 echo $$ > /tmp/r3_pipeline.pid
 LOG=/tmp/r3_pipeline.log
+
+persist() {
+    # commit new/updated training state; lock contention with a concurrent
+    # builder commit just means we retry at the next boundary/tick
+    git add -A weights_demo weights_demo_hd train_demo train_demo_hd results 2>/dev/null
+    if ! git diff --cached --quiet 2>/dev/null; then
+        git commit -q -m "pipeline: persist training state ($1)" || git reset -q 2>/dev/null
+    fi
+}
+
+( while true; do sleep 300; persist periodic; done ) &
+PERSIST_PID=$!
+trap 'kill $PERSIST_PID 2>/dev/null' EXIT
 
 run_stage() {
     # run_stage <phase-label> <args...>
@@ -37,6 +55,7 @@ run_stage() {
         touch /tmp/r3_pipeline.FAILED
         exit $rc
     fi
+    persist "$label"
 }
 
 STAGES="tapnet qadata assess_pretext assess reward pretrain agent agent_wild evaluate"
