@@ -13,8 +13,14 @@
 #
 # Training state is COMMITTED as it lands (stage boundaries + a 5-min
 # periodic loop): builder hosts reset between sessions, and uncommitted
-# checkpoints die with the host. Orbax saves are atomic (tmp dir + rename;
-# tmp dirs are gitignored), so a periodic add never sees a torn checkpoint.
+# checkpoints die with the host. Orbax saves are atomic (tmp dirs + rename,
+# tmp dirs gitignored), so a periodic add never sees a torn checkpoint.
+#
+# Stages run unbuffered with a quiet-log WATCHDOG: the axon tunnel
+# intermittently wedges a device op forever (observed 2026-08-19: step 2
+# of HD train_vos hung 10+ min with zero CPU; the chip answered again only
+# after the client was killed). Every stage logs at least once a minute,
+# so >8 min of log silence means a hang — kill and retry (3 attempts).
 #
 # Records the REAL shell pid (not a nohup wrapper's) in /tmp/r3_pipeline.pid
 # so the run can be killed cleanly: kill $(cat /tmp/r3_pipeline.pid) stops
@@ -39,23 +45,42 @@ persist() {
 PERSIST_PID=$!
 trap 'kill $PERSIST_PID 2>/dev/null' EXIT
 
+QUIET_LIMIT=480   # seconds of log silence that count as a hang
+
 run_stage() {
-    # run_stage <phase-label> <args...>
+    # run_stage <phase-label> <script> <args...>
     local label=$1; shift
-    echo "[$(date +%H:%M:%S)] >>> $label: python scripts/$*" | tee -a "$LOG"
-    python "scripts/$1" "${@:2}" >> "$LOG" 2>&1 &
-    echo $! > /tmp/r3_stage.pid
-    wait $!
-    local rc=$?
-    local rss
-    rss=$(free -m | awk '/Mem:/{print $3}')
-    echo "[$(date +%H:%M:%S)] <<< $label rc=$rc host-used=${rss}M" | tee -a "$LOG"
-    if [ $rc -ne 0 ]; then
-        echo "STAGE FAILED: $label" | tee -a "$LOG"
-        touch /tmp/r3_pipeline.FAILED
-        exit $rc
-    fi
-    persist "$label"
+    local attempt rc pid wd
+    for attempt in 1 2 3; do
+        echo "[$(date +%H:%M:%S)] >>> $label (attempt $attempt): python -u scripts/$*" | tee -a "$LOG"
+        python -u "scripts/$1" "${@:2}" >> "$LOG" 2>&1 &
+        pid=$!
+        echo $pid > /tmp/r3_stage.pid
+        ( while kill -0 "$pid" 2>/dev/null; do
+              sleep 60
+              local quiet=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+              if [ "$quiet" -gt "$QUIET_LIMIT" ]; then
+                  echo "[$(date +%H:%M:%S)] WATCHDOG: $label quiet ${quiet}s, killing $pid" >> "$LOG"
+                  kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+                  break
+              fi
+          done ) &
+        wd=$!
+        wait "$pid"; rc=$?
+        kill "$wd" 2>/dev/null
+        local rss
+        rss=$(free -m | awk '/Mem:/{print $3}')
+        echo "[$(date +%H:%M:%S)] <<< $label rc=$rc host-used=${rss}M" | tee -a "$LOG"
+        if [ "$rc" -eq 0 ]; then
+            persist "$label"
+            return 0
+        fi
+        persist "$label-partial"   # keep whatever snapshots the attempt left
+        sleep 20                   # give the tunnel a moment to recover
+    done
+    echo "STAGE FAILED after 3 attempts: $label" | tee -a "$LOG"
+    touch /tmp/r3_pipeline.FAILED
+    exit 1
 }
 
 STAGES="tapnet qadata assess_pretext assess reward pretrain agent agent_wild evaluate"
