@@ -177,3 +177,29 @@ def test_hd_spec_registry():
     for seq in a.subset("train") + a.subset("val"):
         assert len(a.hard_starts[seq]) == 2
         assert a.churn_starts[seq] > 0 or a.churn_starts[seq] == 0
+
+
+def test_stage_qadata_skips_when_assess_checkpoint_exists(tmp_path, monkeypatch):
+    """Cross-host resume: with the trained assess checkpoint restored from
+    git but the bulky dump tree absent, stage_qadata must skip outright
+    (the dumps' only consumer is stage_assess) — BEFORE touching the
+    generator pool, whose construction costs minutes at the HD tier."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(RESULTS).rsplit("/results", 1)[0])
+    import scripts.demo_ordering as demo
+
+    ckpt = tmp_path / "weights" / "assess_net.orbax"
+    ckpt.mkdir(parents=True)
+    monkeypatch.setattr(demo, "CKPT_DIR", str(tmp_path / "weights"))
+    monkeypatch.setattr(demo, "QA_DIR", str(tmp_path / "train" / "qa"))
+    monkeypatch.setattr(
+        demo, "training_pool", lambda: pytest.fail("pool must not be built")
+    )
+    demo.stage_qadata(None, force=False)  # returns without raising
+
+    # without the checkpoint the stage must NOT skip (it would then build
+    # the pool — the failing stub proves the code path went past the guard)
+    ckpt.rmdir()
+    with pytest.raises(BaseException, match="pool must not be built"):
+        demo.stage_qadata(None, force=False)
