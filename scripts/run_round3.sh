@@ -32,11 +32,30 @@ cd "$(dirname "$0")/.."
 echo $$ > /tmp/r3_pipeline.pid
 LOG=/tmp/r3_pipeline.log
 
+PERIODIC_MSG="pipeline: periodic training-state snapshot"
+
 persist() {
-    # commit new/updated training state; lock contention with a concurrent
-    # builder commit just means we retry at the next boundary/tick
+    # Commit new/updated training state; lock contention with a concurrent
+    # builder commit just means we retry at the next boundary/tick.
+    # Mid-train orbax snapshots are ~94 MB and change every 500 steps, so
+    # consecutive periodic snapshots AMEND each other instead of stacking
+    # fresh blobs into history, and a stage-boundary commit first squashes
+    # any trailing periodic snapshots it supersedes.
     git add -A weights_demo weights_demo_hd train_demo train_demo_hd results 2>/dev/null
-    if ! git diff --cached --quiet 2>/dev/null; then
+    if git diff --cached --quiet 2>/dev/null; then
+        return 0
+    fi
+    if [ "$1" = periodic ]; then
+        if [ "$(git log -1 --pretty=%s)" = "$PERIODIC_MSG" ]; then
+            git commit -q --amend -m "$PERIODIC_MSG" || git reset -q 2>/dev/null
+        else
+            git commit -q -m "$PERIODIC_MSG" || git reset -q 2>/dev/null
+        fi
+    else
+        while [ "$(git log -1 --pretty=%s)" = "$PERIODIC_MSG" ]; do
+            git reset -q --soft HEAD~1 || break
+        done
+        git add -A weights_demo weights_demo_hd train_demo train_demo_hd results 2>/dev/null
         git commit -q -m "pipeline: persist training state ($1)" || git reset -q 2>/dev/null
     fi
 }
