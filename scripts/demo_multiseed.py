@@ -125,11 +125,25 @@ def job_smooth1(force=False):
 
 
 def main(argv=None):
+    global EXTRA_SEEDS
     argv = argv if argv is not None else sys.argv[1:]
     force = "--force" in argv
     if "--tier" in argv:
         demo.set_tier(argv[argv.index("--tier") + 1])
-    jobs = [a for a in argv if a in ("seeds", "smooth1")] or ["seeds", "smooth1"]
+    if "--seeds" in argv:
+        # every integer after --seeds (until the next flag) overrides the
+        # default seed list, e.g. `--seeds 3 4 5` for the round-4 widening
+        # of the wild blind-vs-quality comparison (VERDICT r3, Weak #4)
+        tail = argv[argv.index("--seeds") + 1:]
+        EXTRA_SEEDS = []
+        for a in tail:
+            if not a.lstrip("-").isdigit() or a.startswith("--"):
+                break
+            EXTRA_SEEDS.append(int(a))
+        jobs_default = ["seeds"]
+    else:
+        jobs_default = ["seeds", "smooth1"]
+    jobs = [a for a in argv if a in ("seeds", "smooth1")] or jobs_default
     enable_compile_cache()
     for name in jobs:
         log.info(f"=== job {name} ===")
