@@ -549,7 +549,7 @@ def run(
 
     from ivosw_tpu.data.registry import registry_from_config
     from ivosw_tpu.interact.robot import ScribbleRobot
-    from ivosw_tpu.utils.checkpoint import load_pytree, save_pytree
+    from ivosw_tpu.utils.checkpoint import load_pytree, save_pytree, upload_pytree
 
     log = log or create_stream_logger("train_vos")
     rng = set_random_seed(cfg.seed)
@@ -580,17 +580,23 @@ def run(
     )
     start_step = 0
     if resume_path and os.path.exists(resume_path):
-        tree = load_pytree(resume_path)
-        params = tree["params"]
+        # host tree first: start_step MUST come from numpy — a device
+        # scalar fetch right after the checkpoint upload is the op that
+        # wedged the tunnel 5/5 times (faulthandler: array.__int__ at this
+        # line, 2026-08-19). Upload is grouped+drained (upload_pytree).
+        tree = load_pytree(resume_path, device=False)
+        start_step = int(tree["step"])
+        log.info(f"restoring {resume_path} (host tree read, step {start_step})")
+        params = upload_pytree(tree["params"])
         if use_dp:
             params = replicate(mesh, params)
         # Orbax round-trips optax NamedTuples as dicts; rebuild the typed
         # structure from a fresh template (same recipe as restore_agent)
         template = optimizer.init(params)
         opt_state = jax.tree.unflatten(
-            jax.tree.structure(template), jax.tree.leaves(tree["opt_state"])
+            jax.tree.structure(template), jax.tree.leaves(upload_pytree(tree["opt_state"]))
         )
-        start_step = int(tree["step"])
+        log.info("restore upload complete")
         t0 = time.monotonic()
         for _ in range(start_step * max(int(dp_windows), 1)):
             next(stream)  # host-only: replay the consumed batch draws

@@ -26,18 +26,23 @@ def save_pytree(path: str, tree: Any) -> None:
     ckptr.save(path, tree, force=True)
 
 
-def load_pytree(path: str) -> Optional[Any]:
+def load_pytree(path: str, device: bool = True) -> Optional[Any]:
     """Restore a pytree with every leaf as a HOST numpy array.
 
     Restoring as `jax.Array` replays the sharding recorded at save time,
     which fails outright when the checkpoint moves across topologies (e.g.
     saved on the tunnelled TPU, restored on a CPU mesh: the recorded device
     is absent and Orbax's sharding deserialization raises). So: restore
-    topology-free numpy leaves, then `device_put` the tree ONCE onto the
-    default device. The upload matters — leaving numpy leaves makes every
-    jit call re-transfer the full parameter set, and on the tunnelled TPU
-    that turned a ~0.1 s scoring pass into ~30 s (host↔device transfers
-    are the bottleneck here, CLAUDE.md).
+    topology-free numpy leaves, then upload the tree ONCE onto the default
+    device. The upload matters — leaving numpy leaves makes every jit call
+    re-transfer the full parameter set, and on the tunnelled TPU that
+    turned a ~0.1 s scoring pass into ~30 s (host↔device transfers are
+    the bottleneck here, CLAUDE.md).
+
+    ``device=False`` returns the raw numpy tree — callers that need host
+    metadata (e.g. a resume step counter) MUST read it before uploading:
+    a device round-trip for a scalar right after a large upload is the
+    exact op observed to wedge the tunnel (train_vos resume, 2026-08-19).
     """
     if not os.path.exists(path):
         return None
@@ -52,7 +57,39 @@ def load_pytree(path: str) -> Optional[Any]:
         lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
     )
     tree = ckptr.restore(path, restore_args=restore_args)
-    return jax.device_put(tree)
+    if not device:
+        return tree
+    return upload_pytree(tree)
+
+
+def upload_pytree(tree: Any, group_mb: int = 32) -> Any:
+    """Host→device upload, serialized in ~``group_mb``-sized groups.
+
+    A single ``jax.device_put`` over a ~100 MB checkpoint tree bursts every
+    leaf transfer at once; on the tunnelled TPU that wedged the client
+    deterministically (5/5 resume attempts, 2026-08-19: the first fetch
+    after the burst blocked forever at zero CPU). Grouped uploads bound the
+    outstanding transfer volume: after each group we fetch ONE scalar from
+    the group's last leaf (``bench.py::_sync`` — `block_until_ready` does
+    not synchronize over this tunnel) before issuing the next group.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(tree)
+    out, pending = [], 0
+    for x in leaves:
+        y = jax.device_put(x)
+        out.append(y)
+        pending += getattr(x, "nbytes", 0)
+        if pending >= group_mb * 2**20 and getattr(y, "size", 0) > 0:
+            np.asarray(jnp.reshape(y, (-1,))[0])  # drain the group
+            pending = 0
+    last = next((y for y in reversed(out) if getattr(y, "size", 0) > 0), None)
+    if last is not None:
+        np.asarray(jnp.reshape(last, (-1,))[0])
+    return jax.tree.unflatten(treedef, out)
 
 
 # ----------------------------------------------------------------- agent --
