@@ -95,6 +95,34 @@ def apply_shardings(tree, shardings):
     return jax.tree.map(jax.device_put, tree, shardings)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_score(mesh: Mesh, axis: str, impl: str, folded: bool):
+    """shard_map-wrapped scoring fn, cached per (mesh, axis, impl, folded).
+
+    Building the shard_map wrapper (over a fresh functools.partial) on every
+    call defeats JAX's trace cache — each call re-traced AND re-compiled the
+    whole ResNet program (~13 s/call measured on the CPU mesh), turning the
+    production sequence-parallel path into a recompile per chunk. Caching
+    the callable restores the compile-once-per-shape contract the docstring
+    promises. Mesh is hashable, so the cache key is exact.
+    """
+    from ivosw_tpu.models.assess import score_clip, score_clip_folded
+
+    score = score_clip_folded if folded else score_clip
+    # jit the shard_map wrapper: eager shard_map dispatch re-traces every
+    # call (measured 13 s/call vs 2.4 s single-device on the CPU mesh);
+    # under jit the call hits the C++ fast path and compiles once per shape
+    return jax.jit(
+        shard_map(
+            functools.partial(score, impl=impl),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+
+
 def frame_sharded_score_clip(
     mesh: Mesh,
     assess_variables,
@@ -123,11 +151,7 @@ def frame_sharded_score_clip(
 
     # BN-folded trees carry the fused 4-channel stem and no batch_stats —
     # same routing rule as interact/recommend.py::predict_clip_quality
-    score = (
-        score_clip_folded
-        if "conv_stem" in assess_variables.get("params", {})
-        else score_clip
-    )
+    folded = "conv_stem" in assess_variables.get("params", {})
 
     n = mesh.shape[axis]
     t = frames.shape[0]
@@ -136,13 +160,7 @@ def frame_sharded_score_clip(
         frames = jnp.pad(frames, [(0, pad)] + [(0, 0)] * 3)
         probs = jnp.pad(probs, [(0, pad)] + [(0, 0)] * 3)
 
-    sharded = shard_map(
-        functools.partial(score, impl=impl),
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P()),
-        out_specs=P(axis),
-        check_vma=False,
-    )
+    sharded = _sharded_score(mesh, axis, impl, folded)
     frames = jax.device_put(frames, NamedSharding(mesh, P(axis, None, None, None)))
     probs = jax.device_put(probs, NamedSharding(mesh, P(axis, None, None, None)))
     return sharded(assess_variables, frames, probs, obj_valid)[:t]
