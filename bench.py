@@ -44,15 +44,31 @@ def _pause_pipeline():
     every minute for the duration of the pause."""
     import threading
 
-    pid = None
-    try:
-        with open("/tmp/r3_stage.pid") as fp:
-            pid = int(fp.read().strip())
-        with open(f"/proc/{pid}/cmdline", "rb") as fp:
-            if b"scripts/" not in fp.read():
-                pid = None
-    except (OSError, ValueError):
-        pid = None
+    pid, log_path = None, None
+    for tag in ("r4", "r3"):
+        try:
+            pidfile = f"/tmp/{tag}_stage.pid"
+            with open(pidfile) as fp:
+                cand = int(fp.read().strip())
+            with open(f"/proc/{cand}/cmdline", "rb") as fp:
+                if b"scripts/" not in fp.read():
+                    continue
+            # pid-reuse guard (ADVICE r3): the process must predate its
+            # pidfile. starttime is /proc/<pid>/stat field 22 in ticks
+            # since boot; btime from /proc/stat anchors it to epoch.
+            with open(f"/proc/{cand}/stat") as fp:
+                start_ticks = int(fp.read().rsplit(") ", 1)[1].split()[19])
+            with open("/proc/stat") as fp:
+                btime = next(
+                    int(l.split()[1]) for l in fp if l.startswith("btime")
+                )
+            started = btime + start_ticks / os.sysconf("SC_CLK_TCK")
+            if started > os.stat(pidfile).st_mtime + 1:
+                continue  # pid was recycled after the pidfile was written
+            pid, log_path = cand, f"/tmp/{tag}_pipeline.log"
+            break
+        except (OSError, ValueError, IndexError, StopIteration):
+            continue
     if pid is not None:
         try:
             os.kill(pid, signal.SIGSTOP)
@@ -64,16 +80,30 @@ def _pause_pipeline():
         def _keepalive():
             while not stop.wait(60):
                 with contextlib.suppress(OSError):
-                    os.utime("/tmp/r3_pipeline.log")
+                    os.utime(log_path)
 
         threading.Thread(target=_keepalive, daemon=True).start()
+
+    def _deadline(signum, frame):
+        # A timed device op can wedge the tunnel forever (CLAUDE.md); a
+        # hung bench must not hold the trainer frozen indefinitely
+        # (ADVICE r3): resume the stage and abort loudly.
+        if pid is not None:
+            with contextlib.suppress(OSError):
+                os.kill(pid, signal.SIGCONT)
+        raise SystemExit("bench deadline exceeded (device op wedged?)")
+
+    old_alarm = signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(1500)  # 25 min covers a cold-cache compile, not a wedge
     try:
         yield
     finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_alarm)
         stop.set()
         if pid is not None:
             with contextlib.suppress(OSError):
-                os.utime("/tmp/r3_pipeline.log")  # reset the watchdog clock
+                os.utime(log_path)  # reset the watchdog clock
             with contextlib.suppress(OSError):
                 os.kill(pid, signal.SIGCONT)
 
@@ -119,49 +149,11 @@ def _sync(jnp, out):
 
 
 def _probe_mosaic(jax) -> str:
-    """Compile the production pallas kernels on tiny shapes in a SUBPROCESS.
+    """Out-of-process Mosaic health probe — shared library implementation
+    (``kernels.roi_pallas.probe_mosaic``), longer timeout for bench runs."""
+    from ivosw_tpu.kernels.roi_pallas import probe_mosaic
 
-    This image's Mosaic remote-compile service has been observed to hang or
-    500 intermittently; a hang inside the bench process would stall the whole
-    run, so health is probed out-of-process first. Returns '' when healthy,
-    else a skip reason."""
-    import os
-    import subprocess
-    import sys
-
-    if jax.default_backend() != "tpu":
-        return "skipped: not a TPU backend"
-    probe = (
-        "import numpy as np, jax, jax.numpy as jnp\n"
-        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_ivosw_bench')\n"
-        "from ivosw_tpu.kernels.roi_pallas import (\n"
-        "    roi_crop_pairs_pallas, roi_crop_pairs_pallas_fusedbox)\n"
-        "from ivosw_tpu.ops.roi import mask_to_yxhw\n"
-        "rng = np.random.default_rng(0)\n"
-        "frames = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)\n"
-        "probs = jnp.asarray(rng.random((2, 1, 64, 64)), jnp.float32)\n"
-        "tm = (probs > 0.5).astype(jnp.float32).reshape(2, 64, 64)\n"
-        "out = roi_crop_pairs_pallas(frames, probs, mask_to_yxhw(tm, scale=1.5), 64)\n"
-        "out2 = roi_crop_pairs_pallas_fusedbox(frames, probs, 64, dtype=jnp.bfloat16)\n"
-        "jax.block_until_ready((out, out2))\n"
-        "print('PALLAS_PROBE_OK')\n"
-    )
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORM_NAME", None)
-    env.pop("JAX_PLATFORMS", None)
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", probe],
-            capture_output=True,
-            text=True,
-            timeout=240,
-            env=env,
-        )
-    except subprocess.TimeoutExpired:
-        return "skipped: Mosaic remote compile hung"
-    if "PALLAS_PROBE_OK" not in proc.stdout:
-        return f"skipped: probe failed: {proc.stderr[-200:]}"
-    return ""
+    return probe_mosaic(timeout=240)
 
 
 def _bench_crop_paths(jax, jnp, frames, probs, pallas_skip_reason):
@@ -341,7 +333,22 @@ def main():
     for _ in range(max(ITERS // 2, 2)):
         reference_style_round()
     ref_time = (time.perf_counter() - tic) / max(ITERS // 2, 2)
-    ref_fps = T / ref_time
+
+    # vs_baseline uses the PINNED emulation timing (results/
+    # pinned_baseline.json, median of rounds 1-3): re-timing the host-loop
+    # emulation every run made the headline ratio wander 111x..185x on
+    # tunnel jitter while the fused time improved monotonically (VERDICT r3
+    # weak #5). The live re-measurement stays in detail for drift checks.
+    pinned_ms = ref_time * 1e3
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "results", "pinned_baseline.json")
+        ) as f:
+            pinned_ms = json.load(f)["reference_style_ms_per_round"]
+    except (OSError, KeyError, ValueError):
+        pass
+    ref_fps = T / (pinned_ms / 1e3)
 
     # ------------------- crop path: pallas kernel vs einsum (detail) ------
     crop_detail = _bench_crop_paths(jax, jnp, frames, probs, pallas_skip_reason)
@@ -350,7 +357,8 @@ def main():
         "fused_ms_per_round": round(fused_time * 1e3, 2),
         "fused_impl": fused_impl,
         "fused_live_bn_ms_per_round": round(fused_bn_time * 1e3, 2),
-        "reference_style_ms_per_round": round(ref_time * 1e3, 2),
+        "reference_style_ms_per_round_live": round(ref_time * 1e3, 2),
+        "reference_style_ms_per_round_pinned": round(pinned_ms, 2),
         "clip": {"T": T, "O": O, "H": H, "W": W},
         "device": str(jax.devices()[0]),
         "crop": crop_detail,

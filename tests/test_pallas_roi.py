@@ -355,3 +355,48 @@ def test_roi_crop_pairs_pallas_premat_interpret_parity():
         interpret=True,
     )
     assert out_bf.dtype == jnp.bfloat16
+
+
+def test_pallas_auto_dispatch_policy(monkeypatch, tmp_path):
+    """``impl="auto"`` resolves via the Mosaic health probe (VERDICT r3 #6):
+    env=1 forces pallas, env=0 forces einsum, unset consults mosaic_healthy()
+    — and the on-disk verdict cache round-trips."""
+    import jax
+
+    from ivosw_tpu.kernels import roi_pallas
+
+    # pretend we're on a TPU backend so the policy (not the backend check)
+    # is what's under test
+    monkeypatch.setattr(roi_pallas.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(roi_pallas, "_HEALTH_FILE", str(tmp_path / "health"))
+
+    calls = []
+
+    def fake_probe(timeout=180.0):
+        calls.append(1)
+        return ""  # healthy
+
+    monkeypatch.setattr(roi_pallas, "probe_mosaic", fake_probe)
+
+    monkeypatch.setenv("IVOSW_ENABLE_PALLAS", "1")
+    assert roi_pallas._pallas_enabled() and not calls  # forced: no probe
+
+    monkeypatch.setenv("IVOSW_ENABLE_PALLAS", "0")
+    assert not roi_pallas._pallas_enabled() and not calls
+
+    monkeypatch.delenv("IVOSW_ENABLE_PALLAS")
+    monkeypatch.setattr(roi_pallas, "_health_memo", None)
+    assert roi_pallas._pallas_enabled() and len(calls) == 1  # probed once
+    assert roi_pallas._pallas_enabled() and len(calls) == 1  # memoised
+
+    # a fresh "process" (memo cleared) reads the disk verdict, no re-probe
+    monkeypatch.setattr(roi_pallas, "_health_memo", None)
+    assert roi_pallas._pallas_enabled() and len(calls) == 1
+
+    # unhealthy probe -> einsum fallback, also cached
+    monkeypatch.setattr(roi_pallas, "_health_memo", None)
+    monkeypatch.setattr(roi_pallas, "_HEALTH_FILE", str(tmp_path / "health2"))
+    monkeypatch.setattr(
+        roi_pallas, "probe_mosaic", lambda timeout=180.0: "skipped: hung"
+    )
+    assert not roi_pallas._pallas_enabled()
