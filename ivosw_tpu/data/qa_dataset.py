@@ -109,13 +109,22 @@ class QARegressionDataset:
         return sample
 
     def batches(
-        self, batch_size: int, shuffle: bool = True, drop_last: bool = True
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        skip: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
+        """``skip`` drops the first N batches WITHOUT loading them: the
+        permutation is drawn identically (same constructor seed), so a
+        resumed epoch consumes the exact remaining batch sequence of an
+        uninterrupted one at zero I/O cost (mid-train resume,
+        :func:`ivosw_tpu.train.train_assess.run`)."""
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
         end = len(order) - (len(order) % batch_size) if drop_last else len(order)
-        for start in range(0, end, batch_size):
+        for start in range(skip * batch_size, end, batch_size):
             idxs = order[start : start + batch_size]
             if len(idxs) < batch_size and drop_last:
                 break

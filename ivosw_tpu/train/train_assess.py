@@ -125,11 +125,33 @@ def run(
     variables=None,
     num_epochs: Optional[int] = None,
     log=None,
+    resume_path: Optional[str] = None,
+    save_every: int = 200,
 ):
+    """``resume_path`` mirrors :func:`ivosw_tpu.train.train_vos.run`'s
+    mid-train snapshot/resume: a {variables, opt_state, epoch, step} tree is
+    saved there every ``save_every`` steps and removed on completion; if it
+    already exists, training resumes from it — the epoch's batch permutation
+    is re-drawn identically and the consumed prefix skipped without loading
+    (``QARegressionDataset.batches(skip=...)``). The augmentation rng is NOT
+    replayed across the skipped prefix (additive_noise alone draws an
+    image-sized tensor per sample — replaying would cost as much as
+    loading), so a resumed run sees the same samples in the same order under
+    fresh augmentation draws; training equivalence, not bit-equality. Needed because this image's
+    tunnel client leaks host memory per transfer (CLAUDE.md): an HD-tier
+    epoch sequence outlives the host's RAM, so the stage is OOM-killed and
+    MUST continue across process restarts rather than restart at epoch 1."""
+    import shutil
+
     from ivosw_tpu.data.augment import QAAugmentPipeline
     from ivosw_tpu.data.qa_dataset import QARegressionDataset
     from ivosw_tpu.data.registry import registry_from_config
-    from ivosw_tpu.utils.checkpoint import save_assess_checkpoint
+    from ivosw_tpu.utils.checkpoint import (
+        load_pytree,
+        save_assess_checkpoint,
+        save_pytree,
+        upload_pytree,
+    )
 
     log = log or create_stream_logger("train_assess")
     set_random_seed(cfg.seed)
@@ -153,6 +175,28 @@ def run(
     optimizer = make_assess_optimizer(a.momentum, a.weight_decay)
     opt_state = optimizer.init(variables["params"])
 
+    start_epoch, start_step = 1, 0
+    if resume_path and os.path.exists(resume_path):
+        # host tree first; start indices MUST come from numpy — a device
+        # scalar fetch right after a checkpoint upload is the op that
+        # wedged the tunnel 5/5 times (train_vos.py, 2026-08-19)
+        tree = load_pytree(resume_path, device=False)
+        start_epoch = int(tree["epoch"])
+        start_step = int(tree["step"])
+        log.info(
+            f"restoring {resume_path} (host tree read, "
+            f"epoch {start_epoch} step {start_step})"
+        )
+        variables = upload_pytree(tree["variables"])
+        # Orbax round-trips optax NamedTuples as dicts; rebuild the typed
+        # structure from a fresh template (same recipe as train_vos)
+        template = optimizer.init(variables["params"])
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(template),
+            jax.tree.leaves(upload_pytree(tree["opt_state"])),
+        )
+        log.info("restore upload complete")
+
     metric = cfg.davis_interactive.metric
     # resize target follows the data: the reference's fixed Resize(854x480)
     # (quality_assessment.py:216) is an identity on DAVIS; on other-sized
@@ -161,18 +205,31 @@ def run(
     sizes = [info.image_size for info in registry.sequences.values()]
     size_wh = max(set(sizes), key=sizes.count) if sizes else (854, 480)
     loss_meter = AverageMeter()
-    for epoch in range(1, num_epochs + 1):
+    for epoch in range(start_epoch, num_epochs + 1):
         lr = a.lr * (a.gamma ** (epoch - 1))  # ExponentialLR
         transform = QAAugmentPipeline(size_wh=size_wh, seed=cfg.seed + epoch)
         dataset = QARegressionDataset(
             registry, save_result_dir, transform=transform, seed=cfg.seed + epoch
         )
         epoch_loss = AverageMeter()
-        for i, batch in enumerate(dataset.batches(a.train_batch_size)):
+        skip = start_step if epoch == start_epoch else 0
+        for i, batch in enumerate(
+            dataset.batches(a.train_batch_size, skip=skip), start=skip
+        ):
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             variables, opt_state, loss, diff, n_valid = assess_train_step(
                 variables, opt_state, device_batch, jnp.float32(lr), optimizer, metric
             )
+            if resume_path and (i + 1) % save_every == 0:
+                save_pytree(
+                    resume_path,
+                    {
+                        "variables": variables,
+                        "opt_state": opt_state,
+                        "epoch": epoch,
+                        "step": i + 1,
+                    },
+                )
             if float(n_valid) == 0:
                 continue
             loss_meter.update(float(loss))
@@ -182,8 +239,21 @@ def run(
                 f"diff:{float(diff):.4f} lr:{lr:.2e}"
             )
         log.info(f"* Epoch {epoch}: loss {epoch_loss.avg:.6f}")
+        if resume_path and epoch < num_epochs:
+            # epoch boundary: next process restart begins the next epoch
+            save_pytree(
+                resume_path,
+                {
+                    "variables": variables,
+                    "opt_state": opt_state,
+                    "epoch": epoch + 1,
+                    "step": 0,
+                },
+            )
         if epoch % 10 == 0 or epoch == num_epochs:
             save_assess_checkpoint(variables, cfg.ckpt_dir)
+    if resume_path and os.path.exists(resume_path):
+        shutil.rmtree(resume_path)
     return {"loss_avg": loss_meter.avg, "variables": variables}
 
 

@@ -259,10 +259,15 @@ def stage_assess(reg, force):
     if variables is not None:
         log.info("assess init: pretext checkpoint")
     # 3 epochs over the full 160-clip dump pool: clip diversity moves
-    # held-out correlation more than extra passes over fewer clips
+    # held-out correlation more than extra passes over fewer clips.
+    # resume_path: the HD tier's 3-epoch run outlives the host's RAM under
+    # the tunnel client's per-transfer leak (OOM-killed ~1h45m in, observed
+    # twice at epoch 3) — the snapshot lets the stage-retry loop finish the
+    # run across process restarts instead of restarting at epoch 1
     train_assess.run(
         cfg, registry=training_pool(), save_result_dir=QA_DIR, num_epochs=3,
         variables=variables,
+        resume_path=os.path.join(CKPT_DIR, "assess_net.partial.orbax"),
     )
 
 

@@ -117,3 +117,46 @@ def test_train_assess_driver(registry, dump_dir, tmp_path):
     assert np.isfinite(stats["loss_avg"])
     # epoch==num_epochs triggers a checkpoint
     assert os.path.exists(os.path.join(cfg.ckpt_dir, "assess_net.orbax"))
+
+
+def test_train_assess_resume(registry, dump_dir, tmp_path, monkeypatch):
+    """Mid-train snapshot/resume: a run killed mid-epoch continues from the
+    snapshot (same remaining batch sequence, fresh augmentation draws) and
+    finishes the full schedule — the OOM-survival path of the HD assess
+    stage (the tunnel client's host-memory leak kills long stages)."""
+    cfg = Config()
+    cfg.assess_net.train_batch_size = 4
+    cfg.assess_net.lr = 1e-3
+    cfg.ckpt_dir = str(tmp_path / "weights")
+    resume = str(tmp_path / "assess_resume.orbax")
+
+    real_step = train_assess.assess_train_step
+    calls = {"n": 0}
+
+    def dying_step(*args, **kwargs):
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated OOM kill")
+        calls["n"] += 1
+        return real_step(*args, **kwargs)
+
+    monkeypatch.setattr(train_assess, "assess_train_step", dying_step)
+    with pytest.raises(KeyboardInterrupt):
+        train_assess.run(
+            cfg, registry=registry, save_result_dir=dump_dir,
+            num_epochs=2, resume_path=resume, save_every=1,
+        )
+    assert os.path.exists(resume)  # snapshot survived the kill
+    monkeypatch.setattr(train_assess, "assess_train_step", real_step)
+
+    from ivosw_tpu.utils.checkpoint import load_pytree
+
+    snap = load_pytree(resume, device=False)
+    assert int(snap["epoch"]) == 1 and int(snap["step"]) == 3
+
+    stats = train_assess.run(
+        cfg, registry=registry, save_result_dir=dump_dir,
+        num_epochs=2, resume_path=resume, save_every=1,
+    )
+    assert np.isfinite(stats["loss_avg"])
+    assert not os.path.exists(resume)  # removed on completion
+    assert os.path.exists(os.path.join(cfg.ckpt_dir, "assess_net.orbax"))
