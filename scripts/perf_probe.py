@@ -14,8 +14,13 @@ Variants (timed on the real chip, one-scalar sync per bench.py):
   v2_fused_bbox    — v1 + yxhw computed straight from probs (threshold
                      fused into the row/col reductions; no [T*O,H,W] f32
                      `tm` materialisation)
+  v3_bare_encoder  — folded encoder+Q head alone on precomputed bf16 ROI
+                     crops (the XLA-conv ceiling at these exact shapes:
+                     if the fused round's encoder phase hits the same
+                     TFLOP/s, the remaining gap is conv-bound, not ours)
 
-Run: python scripts/perf_probe.py   (real TPU, nothing else on the chip)
+Run: python scripts/perf_probe.py   (real TPU; a running pipeline stage is
+SIGSTOPped for the duration via bench._pause_pipeline)
 """
 
 from __future__ import annotations
@@ -119,6 +124,32 @@ def main():
         "v1_bf16_inputs_ms": round(time_fn(v0, frames16, probs16), 2),
         "v2_fused_bbox_bf16_ms": round(time_fn(v2, frames16, probs16), 2),
     }
+
+    # v3: the conv ceiling — encoder+Q head on PREcomputed crops (no bbox,
+    # no crop, no big-tensor reads). 10.78 GFLOP per 256² pair (2·MACs,
+    # scripts/profile_fused.py:271-273).
+    rois_f = jnp.asarray(
+        rng.random((T * O, 256, 256, 3)), jnp.bfloat16
+    )
+    rois_p = jnp.asarray(rng.random((T * O, 256, 256, 1)), jnp.bfloat16)
+
+    @jax.jit
+    def v3(folded, tf_roi, tp_roi):
+        model = AssessNet(dtype=jnp.bfloat16, fold=True)
+        return model.apply(folded, tf_roi, tp_roi, train=False)
+
+    for _ in range(WARMUP):
+        _sync(jnp, v3(folded, rois_f, rois_p))
+    tic = time.perf_counter()
+    for _ in range(ITERS):
+        enc_out = v3(folded, rois_f, rois_p)
+    _sync(jnp, enc_out)
+    enc_ms = (time.perf_counter() - tic) / ITERS * 1e3
+    out["v3_bare_encoder_ms"] = round(enc_ms, 2)
+    out["v3_bare_encoder_tflops_per_s"] = round(
+        10.78 * T * O / enc_ms, 1
+    )
+
     # numerical drift check: quality vectors of v0(f32) vs v2(bf16 inputs)
     q0 = np.asarray(v0(folded, brain, frames32, probs32, obj_valid, counts)[1])
     q2 = np.asarray(v2(folded, brain, frames16, probs16, obj_valid, counts)[1])
@@ -127,4 +158,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from bench import _pause_pipeline
+
+    with _pause_pipeline():
+        main()

@@ -310,4 +310,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from bench import _pause_pipeline
+
+    with _pause_pipeline():
+        main()
