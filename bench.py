@@ -252,6 +252,16 @@ def main():
             x = (t * 7 + o * 60) % (W - 200)
             probs_np[t, o, y : y + 150, x : x + 190] = 0.9
     probs = jnp.asarray(probs_np)
+
+    # production input residency (cfg.assess_net.bf16_inputs): when the
+    # default is bf16, the headline times bf16-resident frames/probs — the
+    # dtype the eval loop actually keeps on device — and f32 stays a detail
+    # row (and vice versa)
+    from ivosw_tpu.core.config import Config as _Config
+
+    bf16_default = bool(_Config().assess_net.bf16_inputs)
+    frames16 = frames.astype(jnp.bfloat16)
+    probs16 = probs.astype(jnp.bfloat16)
     obj_valid = jnp.ones((O,), jnp.float32)
     counts = jnp.zeros((T,), jnp.float32)
 
@@ -282,24 +292,32 @@ def main():
         state = jnp.stack([quality, counts], axis=1)[None]
         return brain_forward(brain_params, state)[0], quality
 
-    def time_round(fn, vars_, **kw):
+    def time_round(fn, vars_, f=None, p=None, **kw):
+        f = frames if f is None else f
+        p = probs if p is None else p
         for _ in range(WARMUP):
-            _sync(jnp, fn(vars_, brain_params, frames, probs, obj_valid, counts, **kw))
+            _sync(jnp, fn(vars_, brain_params, f, p, obj_valid, counts, **kw))
         tic = time.perf_counter()
         for _ in range(ITERS):
-            out = fn(vars_, brain_params, frames, probs, obj_valid, counts, **kw)
+            out = fn(vars_, brain_params, f, p, obj_valid, counts, **kw)
         _sync(jnp, out)
         return (time.perf_counter() - tic) / ITERS
 
-    fused_time = time_round(fused_round, folded_vars)
+    # headline inputs = the production residency; the other dtype is detail
+    hf, hp = (frames16, probs16) if bf16_default else (frames, probs)
+    fused_time = time_round(fused_round, folded_vars, hf, hp)
     fused_impl = "einsum"
     fused_pallas_time = None
     if not pallas_skip_reason:
         # same program with the fused-bbox pallas kernel for the box+crop
         # stage; the headline takes whichever impl wins on this chip today
-        fused_pallas_time = time_round(fused_round, folded_vars, impl="pallas")
+        fused_pallas_time = time_round(
+            fused_round, folded_vars, hf, hp, impl="pallas"
+        )
         if fused_pallas_time < fused_time:
             fused_time, fused_impl = fused_pallas_time, "pallas"
+    alt_f, alt_p = (frames, probs) if bf16_default else (frames16, probs16)
+    fused_alt_dtype_time = time_round(fused_round, folded_vars, alt_f, alt_p)
     fused_bn_time = time_round(fused_round_bn, assess_vars)
     fused_fps = T / fused_time
 
@@ -356,6 +374,10 @@ def main():
     detail = {
         "fused_ms_per_round": round(fused_time * 1e3, 2),
         "fused_impl": fused_impl,
+        "fused_input_dtype": "bfloat16" if bf16_default else "float32",
+        f"fused_{'float32' if bf16_default else 'bfloat16'}_inputs_ms": round(
+            fused_alt_dtype_time * 1e3, 2
+        ),
         "fused_live_bn_ms_per_round": round(fused_bn_time * 1e3, 2),
         "reference_style_ms_per_round_live": round(ref_time * 1e3, 2),
         "reference_style_ms_per_round_pinned": round(pinned_ms, 2),

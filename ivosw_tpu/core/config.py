@@ -75,6 +75,17 @@ class AssessNetConfig:
     # default (interact/recommend.py::FRAME_CHUNK). Pure perf knob: larger
     # chunks amortise dispatch, smaller ones waste less tail padding
     score_chunk: int = 0
+    # keep the QA pass's big inputs (per-sequence frame upload + the
+    # adapters' prob-map output) in bf16 instead of f32: halves the
+    # host->device frame transfer (the tunnelled-TPU bottleneck) and every
+    # HBM read of both tensors in the per-round bbox+crop stage. The
+    # encoder consumes bf16 crops either way; drift is one rounding step at
+    # the 0.5 bbox threshold + crop interpolation (scripts/perf_probe.py
+    # quantifies it). Masks/metrics are computed BEFORE the cast and do not
+    # move. Off by default until the committed demo artifacts are
+    # regenerated under it (scoring numerics must be uniform within a
+    # results tree).
+    bf16_inputs: bool = False
 
 
 @dataclass

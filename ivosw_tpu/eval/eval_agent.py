@@ -127,10 +127,19 @@ def evaluate(
                 all_F = registry.load_images(sequence)
                 if cfg.setting == "wild" and cfg.method in ("ours", "worst"):
                     # one upload per sequence; every round's fused QA pass
-                    # then reads frames from HBM instead of re-shipping them
+                    # then reads frames from HBM instead of re-shipping them.
+                    # bf16_inputs halves the upload (tunnel bandwidth is the
+                    # bottleneck) and every per-round HBM read of the frames
                     import jax.numpy as jnp
 
-                    all_F_dev = jnp.asarray(all_F)
+                    all_F_dev = jnp.asarray(
+                        all_F,
+                        dtype=(
+                            jnp.bfloat16
+                            if getattr(cfg.assess_net, "bf16_inputs", False)
+                            else None
+                        ),
+                    )
                 else:
                     all_F_dev = all_F
                 n_frame = info.num_frames

@@ -8,6 +8,7 @@ cleanly under XLA.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -131,19 +132,23 @@ def pad_to_multiple(x, mult: int, axes=(1, 2)):
     return jnp.pad(x, pads), tuple(pad_hw)
 
 
-@jax.jit
-def labels_and_probs(prob_maps: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def labels_and_probs(prob_maps: jnp.ndarray, dtype=jnp.float32):
     """[T, O, H, W] foreground probs → (labels [T,H,W] uint8,
     all_P [T, O+1, H, W] with background channel 0). Stays on device; the
     adapter transfers only the labels to host (metrics/robot need them) —
     uint8 because label transfer rides a slow host↔device tunnel and object
-    ids are ≤255 — while all_P feeds the fused QA pass with no round-trip."""
+    ids are ≤255 — while all_P feeds the fused QA pass with no round-trip.
+
+    dtype: all_P's storage dtype. bf16 (cfg.assess_net.bf16_inputs) halves
+    the QA pass's per-round HBM reads; labels are computed from the f32
+    ``prob_maps`` BEFORE the cast, so masks/metrics are dtype-invariant."""
     fg_max = prob_maps.max(axis=1)
     labels = jnp.where(
         fg_max > 0.5, jnp.argmax(prob_maps, axis=1) + 1, 0
     ).astype(jnp.uint8)
     bg = jnp.clip(1.0 - fg_max, 0.0, 1.0)[:, None]
-    all_p = jnp.concatenate([bg, prob_maps], axis=1)
+    all_p = jnp.concatenate([bg, prob_maps], axis=1).astype(dtype)
     return labels, all_p
 
 

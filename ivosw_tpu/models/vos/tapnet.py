@@ -287,13 +287,18 @@ class TAPNetAdapter:
 
     name = "tapnet"
 
-    def __init__(self, params, encode_chunk: int = 8, scribble_dilation: int = 3):
+    def __init__(self, params, encode_chunk: int = 8, scribble_dilation: int = 3,
+                 qa_dtype=jnp.float32):
         self.params = params
         self.encode_chunk = encode_chunk
         self.scribble_dilation = scribble_dilation
+        # storage dtype of the returned all_P (cfg.assess_net.bf16_inputs);
+        # masks are computed before the cast and are dtype-invariant
+        self.qa_dtype = qa_dtype
 
     @classmethod
-    def create(cls, seed: int = 0, ckpt_dir: Optional[str] = None):
+    def create(cls, seed: int = 0, ckpt_dir: Optional[str] = None,
+               qa_dtype=jnp.float32):
         params = None
         if ckpt_dir is not None:
             from ivosw_tpu.utils.checkpoint import load_pytree
@@ -304,7 +309,7 @@ class TAPNetAdapter:
                 params = tree["params"] if "params" in tree else tree
         if params is None:
             params = init_tapnet_params(seed)
-        return cls(params)
+        return cls(params, qa_dtype=qa_dtype)
 
     # -------------------------------------------------------------------- #
     def begin_sequence(self, frames: np.ndarray, num_objects: int):
@@ -420,7 +425,7 @@ class TAPNetAdapter:
 
         from ivosw_tpu.models.vos.layers import labels_and_probs
 
-        labels_dev, all_p = labels_and_probs(state.prob_maps)
+        labels_dev, all_p = labels_and_probs(state.prob_maps, dtype=self.qa_dtype)
         return np.asarray(labels_dev), all_p, state
 
 

@@ -154,6 +154,10 @@ def main():
     q0 = np.asarray(v0(folded, brain, frames32, probs32, obj_valid, counts)[1])
     q2 = np.asarray(v2(folded, brain, frames16, probs16, obj_valid, counts)[1])
     out["quality_max_abs_diff"] = float(np.abs(q0 - q2).max())
+    out["clip"] = {"T": T, "O": O, "H": H, "W": W}
+    os.makedirs("results", exist_ok=True)
+    with open(os.path.join("results", "perf_probe.json"), "w") as fp:
+        json.dump(out, fp, indent=2)
     print(json.dumps(out))
 
 
