@@ -123,12 +123,24 @@ STAGES="tapnet qadata assess_pretext assess reward pretrain agent agent_wild eva
 
 phase_b_hd() {
     run_stage "B/hd/tapnet" demo_ordering.py tapnet --tier hd || return 1
-    run_stage "B/hd/probe-bands" demo_probe.py bands --tier hd || return 1
+    # The probes are gates for the NEXT stage; when that stage's artifact is
+    # already committed the gate has passed on a previous host — re-running
+    # it would burn ~30 min of HD TPU time for nothing (hosts are ephemeral,
+    # probe output lives only in the log).
+    if [ -e weights_demo_hd/assess_net.orbax ]; then
+        echo "skip B/hd/probe-bands (assess_net.orbax exists — gate passed)" | tee -a "$LOG"
+    else
+        run_stage "B/hd/probe-bands" demo_probe.py bands --tier hd || return 1
+    fi
     local s
     for s in qadata assess_pretext assess; do
         run_stage "B/hd/$s" demo_ordering.py "$s" --tier hd || return 1
     done
-    run_stage "B/hd/probe-qa" demo_probe.py qa --tier hd || return 1
+    if [ -e train_demo_hd/reward.csv ]; then
+        echo "skip B/hd/probe-qa (reward.csv exists — gate passed)" | tee -a "$LOG"
+    else
+        run_stage "B/hd/probe-qa" demo_probe.py qa --tier hd || return 1
+    fi
     for s in reward pretrain agent agent_wild evaluate; do
         run_stage "B/hd/$s" demo_ordering.py "$s" --tier hd || return 1
     done
