@@ -56,8 +56,17 @@ def run_interactive_phase(
     log=None,
     expected_count: Optional[int] = None,
     on_epoch_end=None,
+    start_epoch: int = 1,
 ):
-    """Run cfg.num_epochs of interactive rollouts; returns summary stats."""
+    """Run cfg.num_epochs of interactive rollouts; returns summary stats.
+
+    ``start_epoch`` resumes a killed run at epoch ``start_epoch`` (1-based):
+    episode streams are reproducible because each epoch reseeds its session
+    and robot with ``cfg.seed + epoch``. A resumed run differs from an
+    uninterrupted one only in the replay pool (transitions collected by the
+    completed epochs are not replayed) — an accepted divergence; the
+    reference has no resume at all.
+    """
     log = log or create_stream_logger(f"train/{cfg.phase}")
     rng = set_random_seed(cfg.seed)
     metric_to_optimize = cfg.davis_interactive.metric
@@ -68,7 +77,7 @@ def run_interactive_phase(
     loss_meter = AverageMeter()
     final_quality = AverageMeter()
 
-    for epoch in range(1, cfg.num_epochs + 1):
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         with InteractiveSession(
             registry,
             subset=subset,

@@ -21,7 +21,11 @@ from ivosw_tpu.eval.backbones import build_backbone
 from ivosw_tpu.interact.recommend import RewardTable
 from ivosw_tpu.models.agent import Agent
 from ivosw_tpu.train.rollout import run_interactive_phase
-from ivosw_tpu.utils.checkpoint import save_agent_checkpoint
+from ivosw_tpu.utils.checkpoint import (
+    latest_agent_epoch,
+    restore_agent,
+    save_agent_checkpoint,
+)
 
 
 def configure(cfg: Config) -> Config:
@@ -49,8 +53,22 @@ def run(cfg: Config, registry=None, adapter=None, reward_table=None,
         pretrain_csv, report_save_dir=save_dir, sample_th=cfg.agent.sample_th
     )
 
+    # Mid-train resume (hosts are ephemeral): per-epoch snapshots are the
+    # resume points; the plain agent.orbax is written ONLY on completion so
+    # a killed run can never masquerade as a finished one to skip-if-exists
+    # pipeline logic (scripts/demo_ordering.py::stage_agent).
+    start_epoch = 1
+    last = latest_agent_epoch(cfg.ckpt_dir)
+    if last is not None and restore_agent(
+        agent, cfg.ckpt_dir, name=f"agent_epoch_{last}"
+    ):
+        start_epoch = last + 1
+        (log.info if log else print)(
+            f"resuming agent training from epoch snapshot {last} "
+            f"(steps_done={agent.steps_done})"
+        )
+
     def on_epoch_end(epoch):
-        save_agent_checkpoint(agent, cfg.ckpt_dir)
         save_agent_checkpoint(agent, cfg.ckpt_dir, epoch=epoch)
 
     stats = run_interactive_phase(
@@ -64,7 +82,9 @@ def run(cfg: Config, registry=None, adapter=None, reward_table=None,
         expected_count=expected_count,
         log=log,
         on_epoch_end=on_epoch_end,
+        start_epoch=start_epoch,
     )
+    save_agent_checkpoint(agent, cfg.ckpt_dir)
     return stats, agent
 
 

@@ -119,17 +119,38 @@ def load_agent_params(ckpt_dir: str):
     return load_agent_checkpoint_pt(os.path.join(ckpt_dir, "agent.pt"))
 
 
-def restore_agent(agent, ckpt_dir: str) -> bool:
+def latest_agent_epoch(ckpt_dir: str) -> Optional[int]:
+    """Highest N for which ``agent_epoch_N.orbax`` exists in ckpt_dir, else None.
+
+    Used to resume a killed agent-training stage from its newest epoch
+    snapshot (hosts are ephemeral — see scripts/run_round4.sh)."""
+    import re
+
+    best = None
+    if os.path.isdir(ckpt_dir):
+        for entry in os.listdir(ckpt_dir):
+            m = re.fullmatch(r"agent_epoch_(\d+)\.orbax", entry)
+            if m:
+                n = int(m.group(1))
+                best = n if best is None else max(best, n)
+    return best
+
+
+def restore_agent(agent, ckpt_dir: str, name: str = "agent") -> bool:
     """Full restore (params + opt state + step counter) when available.
 
-    target_params is a deep COPY of params: dqn_update_step donates the
-    params buffers, so aliasing the two trees would leave target_params
-    pointing at donated (deleted) arrays after the first update."""
+    ``name`` selects the checkpoint file (``<name>.orbax``), e.g. an epoch
+    snapshot ``agent_epoch_3``. target_params is a deep COPY of params:
+    dqn_update_step donates the params buffers, so aliasing the two trees
+    would leave target_params pointing at donated (deleted) arrays after the
+    first update."""
     import jax
     import jax.numpy as jnp
 
-    tree = load_pytree(os.path.join(ckpt_dir, "agent.orbax"))
+    tree = load_pytree(os.path.join(ckpt_dir, name + ".orbax"))
     if tree is None:
+        if name != "agent":
+            return False  # epoch snapshots have no .pt fallback
         params = load_agent_params(ckpt_dir)
         if params is None:
             return False

@@ -337,7 +337,19 @@ def stage_agent_wild(reg, force):
     cfg.num_epochs = 8
     cfg.setting, cfg.method = "wild", "ours"
     agent = Agent(cfg)
-    assert restore_agent(agent, CKPT_DIR), "oracle agent checkpoint missing"
+    # Resume from the newest wild epoch snapshot when one exists (hosts are
+    # ephemeral); otherwise start from the oracle-trained agent.
+    from ivosw_tpu.utils.checkpoint import latest_agent_epoch
+
+    start_epoch = 1
+    last = latest_agent_epoch(wild_dir)
+    if last is not None and restore_agent(
+        agent, wild_dir, name=f"agent_epoch_{last}"
+    ):
+        start_epoch = last + 1
+        log.info(f"agent_wild: resuming from epoch snapshot {last}")
+    else:
+        assert restore_agent(agent, CKPT_DIR), "oracle agent checkpoint missing"
     assess_variables = load_assess_variables_ckpt(CKPT_DIR)
     assert assess_variables is not None, "assess checkpoint missing"
     agent.memory_pool.load_from_csv(
@@ -352,6 +364,8 @@ def stage_agent_wild(reg, force):
         cfg, reg, adapter(reg), agent,
         reward_table=reward_table, subset="train",
         assess_variables=assess_variables,
+        on_epoch_end=lambda e: save_agent_checkpoint(agent, wild_dir, epoch=e),
+        start_epoch=start_epoch,
     )
     save_agent_checkpoint(agent, wild_dir)
 

@@ -31,7 +31,12 @@ LOG=/tmp/r4_pipeline.log
 LOCK=/tmp/r4_persist.lock
 
 BIG_DIRS="weights_demo weights_demo_hd train_demo train_demo_hd results"
-SMALL_DIRS="train_demo train_demo_hd results"
+# Periodic tick now includes the weights dirs: agent epoch snapshots (a few
+# MB each) are the resume points for the long agent stages and must survive
+# host death; the big backbone/assess orbax trees in the same dirs only
+# produce new blobs when their content actually changes (git no-ops on
+# unchanged files), so this adds no bloat during eval/agent stages.
+SMALL_DIRS="weights_demo weights_demo_hd train_demo train_demo_hd results"
 
 persist() {
     # persist <label> [dirs...] — commit training state under flock.

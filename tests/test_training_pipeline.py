@@ -230,3 +230,48 @@ def test_wild_finetune_records_predicted_states(registry, tmp_path, monkeypatch)
     for tr in transitions:
         np.testing.assert_allclose(tr.state_iou, marker, atol=1e-6)
         np.testing.assert_allclose(tr.next_state_iou, marker, atol=1e-6)
+
+
+def test_train_agent_resume_from_epoch_snapshot(registry, tmp_path):
+    """A killed agent stage resumes from its newest epoch snapshot instead of
+    restarting at epoch 1, and the plain agent.orbax (the pipeline's
+    skip-if-exists marker) appears only on COMPLETION — a mid-run kill must
+    never leave a marker that makes the stage skip with an under-trained
+    agent (round-4 fix; see scripts/run_round4.sh)."""
+    import shutil
+
+    from ivosw_tpu.utils.checkpoint import latest_agent_epoch
+
+    # stage 1+2 prerequisites (reward table + pretrain pool)
+    cfg = produce_reward.configure(_cfg(tmp_path))
+    cfg.num_epochs = 2
+    produce_reward.run(cfg, registry=registry, adapter=_adapter(registry))
+    cfg2 = pretrain_agent.configure(_cfg(tmp_path))
+    cfg2.num_epochs = 2
+    pretrain_agent.run(cfg2, registry=registry, adapter=_adapter(registry))
+
+    cfg3 = train_agent.configure(_cfg(tmp_path))
+    cfg3.num_epochs = 2
+    cfg3.agent.sample_th = 0.01
+    _, agent_full = train_agent.run(
+        cfg3, registry=registry, adapter=_adapter(registry)
+    )
+    weights = tmp_path / "weights"
+    assert (weights / "agent.orbax").exists()
+    assert (weights / "agent_epoch_1.orbax").exists()
+    assert (weights / "agent_epoch_2.orbax").exists()
+
+    # simulate a kill after epoch 1: drop the final marker + epoch-2 snapshot
+    shutil.rmtree(weights / "agent.orbax")
+    shutil.rmtree(weights / "agent_epoch_2.orbax")
+    assert latest_agent_epoch(str(weights)) == 1
+
+    _, agent_resumed = train_agent.run(
+        cfg3, registry=registry, adapter=_adapter(registry)
+    )
+    # resumed exactly one epoch of experience on top of the snapshot, and the
+    # completion marker is back
+    assert (weights / "agent.orbax").exists()
+    assert (weights / "agent_epoch_2.orbax").exists()
+    assert agent_resumed.steps_done > 0
+    assert agent_resumed.steps_done <= agent_full.steps_done
