@@ -52,9 +52,20 @@ def _sp_mesh(n_shards: int):
 
     devices = jax.devices()
     if len(devices) < n:
-        raise ValueError(
-            f"eval_sp_shards={n} but only {len(devices)} devices visible"
-        )
+        # the default backend may be a single tunnelled TPU chip while the
+        # xla_force_host_platform_device_count virtual CPU devices carry the
+        # mesh (the driver's dryrun_multichip environment) — same fallback
+        # as __graft_entry__.dryrun_multichip
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n:
+            devices = cpu
+        else:
+            raise ValueError(
+                f"eval_sp_shards={n} but only {len(devices)} devices visible"
+            )
     default = jax.config.jax_default_device
     if default is not None and n > 1 and default != devices[0]:
         raise ValueError(

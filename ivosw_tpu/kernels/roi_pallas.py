@@ -186,37 +186,66 @@ def mosaic_healthy() -> bool:
 
 
 def _pallas_enabled() -> bool:
-    """Pallas dispatch policy (VERDICT r3 #6: default-on where safe).
+    """TRACE-TIME Pallas policy (VERDICT r3 #6: default-on where safe).
 
-    IVOSW_ENABLE_PALLAS=1 forces pallas on a TPU backend (no probe — the
-    caller asserts health); =0 forces the einsum path; unset → pallas iff
-    the out-of-process Mosaic health probe passes, einsum fallback
-    otherwise, so production runs get the measured-fastest path (fused-bbox
-    crop 7.36 ms vs 8.27 ms bf16 einsum, BENCH_r03) without the env var."""
+    IVOSW_ENABLE_PALLAS=1 forces the policy on for TPU lowerings (no probe —
+    the caller asserts health); =0 forces the einsum path; unset → pallas iff
+    the out-of-process Mosaic health probe passes, einsum fallback otherwise,
+    so production runs get the measured-fastest path (fused-bbox crop 7.36 ms
+    vs 8.27 ms bf16 einsum, BENCH_r03) without the env var.
+
+    This answers "SHOULD the TPU lowering use pallas?", never "is this
+    program lowering for a TPU?" — that second question is decided at
+    lowering time by :func:`_dispatch_by_platform`. Keying the branch choice
+    on ``jax.default_backend()`` here was the MULTICHIP_r04 crash: the
+    driver's default backend is the live TPU while ``dryrun_multichip``
+    lowers onto a CPU mesh, so pallas was selected for a CPU computation
+    ("Only interpret mode is supported on CPU backend")."""
     import os
 
-    if jax.default_backend() != "tpu":
-        return False
     env = os.environ.get("IVOSW_ENABLE_PALLAS")
     if env == "1":
         return True
     if env == "0":
         return False
+    if jax.default_backend() != "tpu":
+        # no TPU in the process → the TPU branch can never lower; skip the
+        # (up to 3-minute) Mosaic probe entirely
+        return False
     return mosaic_healthy()
 
 
-def roi_crop_best(images, yxhw, out_size: int = ROI_S):
-    """Pallas on TPU when enabled, XLA-einsum fallback otherwise.
+def _dispatch_by_platform(pallas_fn, einsum_fn):
+    """LOWERING-TIME dispatch: pallas only where the program actually lowers
+    for a TPU; the XLA einsum path on every other platform (CPU meshes under
+    a TPU default backend, pure-CPU hosts, ...).
 
-    Opt-in via IVOSW_ENABLE_PALLAS=1: this image's remote Mosaic compile
-    service is unreliable (hangs/500s observed on kernels the interpreter
-    validates fine), and the einsum path already runs the crop on the MXU.
+    ``jax.lax.platform_dependent`` resolves per lowering platform, so one
+    traced program does the right thing on a mixed host — the exact case the
+    trace-time ``jax.default_backend()`` gate got wrong (MULTICHIP_r04).
+    When the trace-time policy says "no pallas" the TPU branch is not even
+    staged, so nothing Mosaic-shaped reaches the compiler."""
+    if not _pallas_enabled():
+        return einsum_fn()
+    return jax.lax.platform_dependent(tpu=pallas_fn, default=einsum_fn)
+
+
+def roi_crop_best(images, yxhw, out_size: int = ROI_S):
+    """Pallas on TPU lowerings when enabled, XLA-einsum fallback otherwise.
+
+    Policy via IVOSW_ENABLE_PALLAS / the Mosaic health probe (this image's
+    remote Mosaic compile service is unreliable — hangs/500s observed on
+    kernels the interpreter validates fine); platform selection is
+    lowering-time (:func:`_dispatch_by_platform`), so CPU-mesh programs are
+    always einsum. The einsum path already runs the crop on the MXU.
     """
-    if _pallas_enabled():
-        return roi_crop_pallas(images, yxhw, out_size)
     from ivosw_tpu.ops.roi import roi_crop
 
-    return roi_crop(images, yxhw, out_size, dtype=images.dtype)
+    return _dispatch_by_platform(
+        # cast keeps both branches' output aval identical (pallas computes f32)
+        lambda: roi_crop_pallas(images, yxhw, out_size).astype(images.dtype),
+        lambda: roi_crop(images, yxhw, out_size, dtype=images.dtype),
+    )
 
 
 # ------------------------------------------------- flagship T×O pair crop --
@@ -493,23 +522,38 @@ def roi_crop_pairs_from_probs(
 
     The single dispatch point for the whole box+crop stage. impl:
     ``"pallas"`` — fused-bbox kernel (boxes computed in-kernel, prob tensor
-    read once); ``"einsum"`` — XLA mask_to_yxhw reductions + pair-indexed
-    einsums; ``"auto"`` — pallas when IVOSW_ENABLE_PALLAS=1 on a TPU
-    backend, einsum otherwise. All paths share box semantics exactly
-    (f32 ``> 0.5`` threshold, reference expansion rules)."""
-    if impl == "auto":
-        impl = "pallas" if _pallas_enabled() else "einsum"
-    if impl == "pallas":
+    read once; caller asserts a TPU lowering); ``"einsum"`` — XLA
+    mask_to_yxhw reductions + pair-indexed einsums; ``"auto"`` — policy via
+    IVOSW_ENABLE_PALLAS / the Mosaic probe, platform resolved at LOWERING
+    time (:func:`_dispatch_by_platform`) so CPU-mesh programs never see a
+    pallas call. All paths share box semantics exactly (f32 ``> 0.5``
+    threshold, reference expansion rules)."""
+
+    def _pallas():
         out = roi_crop_pairs_pallas_fusedbox(frames, probs, out_size, dtype=dtype)
         return out[..., :3], out[..., 3:]
+
+    def _einsum():
+        from ivosw_tpu.ops.roi import mask_to_yxhw
+
+        t, o = probs.shape[0], probs.shape[1]
+        h, w = frames.shape[1], frames.shape[2]
+        yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
+        return roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
+
+    if impl == "auto":
+        # branch avals must match: the einsum path leaves its f32 MXU
+        # accumulations un-rounded while the pallas kernel emits ``dtype``;
+        # the consumers (bf16 encoder) cast to ``dtype`` anyway, so rounding
+        # here changes nothing downstream
+        return _dispatch_by_platform(
+            _pallas, lambda: tuple(x.astype(dtype) for x in _einsum())
+        )
+    if impl == "pallas":
+        return _pallas()
     if impl != "einsum":
         raise NotImplementedError(impl)
-    from ivosw_tpu.ops.roi import mask_to_yxhw
-
-    t, o = probs.shape[0], probs.shape[1]
-    h, w = frames.shape[1], frames.shape[2]
-    yxhw = mask_to_yxhw((probs > 0.5).reshape(t * o, h, w), scale=1.5)
-    return roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
+    return _einsum()
 
 
 def _pair_kernel_premat(ry_ref, rx_ref, frame_ref, prob_ref, out_ref, *, dtype):
@@ -600,10 +644,20 @@ def roi_crop_pairs(frames, probs, yxhw, out_size: int = ROI_S, dtype=jnp.float32
     dtype=float32 (default) keeps full-precision MXU contractions; bfloat16
     is the scoring-path fast mode — half the HBM traffic and single-pass MXU
     dots (f32 accumulation), feeding an encoder that is bf16 anyway."""
-    if _pallas_enabled():
+
+    def _pallas():
         out = roi_crop_pairs_pallas(frames, probs, yxhw, out_size, dtype=dtype)
         return out[..., :3], out[..., 3:]
-    return roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
+
+    return _dispatch_by_platform(
+        _pallas,
+        # .astype(dtype): match the pallas branch's aval (see
+        # roi_crop_pairs_from_probs — einsum accumulations stay f32)
+        lambda: tuple(
+            x.astype(dtype)
+            for x in roi_crop_pairs_einsum(frames, probs, yxhw, out_size, dtype=dtype)
+        ),
+    )
 
 
 def roi_crop_pairs_einsum(

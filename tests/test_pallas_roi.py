@@ -400,3 +400,61 @@ def test_pallas_auto_dispatch_policy(monkeypatch, tmp_path):
         roi_pallas, "probe_mosaic", lambda timeout=180.0: "skipped: hung"
     )
     assert not roi_pallas._pallas_enabled()
+
+
+def test_auto_dispatch_platform_correct_on_cpu_lowering(monkeypatch):
+    """MULTICHIP_r04 regression: pallas policy ON (TPU default backend,
+    forced-healthy) while the program lowers for CPU devices must take the
+    einsum branch — the dispatch is lowering-time (`jax.lax.
+    platform_dependent`), not a trace-time `jax.default_backend()` check.
+    Before the fix this crashed in the pallas CPU lowering rule ("Only
+    interpret mode is supported on CPU backend") — the exact
+    `dryrun_multichip` failure (assess_train_step → roi_crop_best →
+    pl.pallas_call on a CPU mesh under a TPU default backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ivosw_tpu.kernels import roi_pallas
+
+    monkeypatch.setattr(roi_pallas.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("IVOSW_ENABLE_PALLAS", "1")  # forced: no Mosaic probe
+    assert roi_pallas._pallas_enabled()
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # (1) the exact dryrun crash path, reproduced at lowering time with
+        # abstract avals (no 256² ResNet compile needed — the old code's
+        # crash was raised by the pallas_call CPU lowering rule itself)
+        from ivosw_tpu.models.assess import init_assess_variables
+        from ivosw_tpu.train.train_assess import (
+            assess_train_step,
+            make_assess_optimizer,
+        )
+
+        opt = make_assess_optimizer(0.9, 5e-4)
+        var_shapes = jax.eval_shape(
+            lambda: init_assess_variables(jax.random.PRNGKey(0))
+        )
+        opt_shapes = jax.eval_shape(lambda v: opt.init(v["params"]), var_shapes)
+        batch = {
+            "img": jax.ShapeDtypeStruct((2, 24, 32, 3), jnp.float32),
+            "prob": jax.ShapeDtypeStruct((2, 24, 32), jnp.float32),
+            "label": jax.ShapeDtypeStruct((2, 24, 32), jnp.int32),
+        }
+        assess_train_step.lower(
+            var_shapes, opt_shapes, batch, jnp.float32(1e-4), opt
+        )
+
+        # (2) executed end-to-end on CPU, the auto dispatch must equal the
+        # explicit einsum path bit-for-bit (it IS the einsum branch there)
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(rng.random((2, 24, 32, 3)), jnp.float32)
+        probs = jnp.asarray(rng.random((2, 2, 24, 32)), jnp.float32)
+        tf_a, tp_a = roi_pallas.roi_crop_pairs_from_probs(
+            frames, probs, 16, impl="auto"
+        )
+        tf_e, tp_e = roi_pallas.roi_crop_pairs_from_probs(
+            frames, probs, 16, impl="einsum"
+        )
+        np.testing.assert_array_equal(np.asarray(tf_a), np.asarray(tf_e))
+        np.testing.assert_array_equal(np.asarray(tp_a), np.asarray(tp_e))
