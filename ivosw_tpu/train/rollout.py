@@ -62,10 +62,15 @@ def run_interactive_phase(
 
     ``start_epoch`` resumes a killed run at epoch ``start_epoch`` (1-based):
     episode streams are reproducible because each epoch reseeds its session
-    and robot with ``cfg.seed + epoch``. A resumed run differs from an
-    uninterrupted one only in the replay pool (transitions collected by the
-    completed epochs are not replayed) — an accepted divergence; the
-    reference has no resume at all.
+    and robot with ``cfg.seed + epoch``. A resumed run diverges from an
+    uninterrupted one in three accepted ways (the reference has no resume at
+    all): (a) the replay pool — transitions collected by the completed
+    epochs are not replayed; (b) the exploration stream — the module-level
+    rng seeded once with ``cfg.seed`` below drives epsilon-greedy action
+    draws and advances across epochs, so a resume restarts it; (c) the
+    target-network sync point — ``restore_agent`` sets
+    ``target_params = params``, re-aligning the two nets at the resume
+    boundary. Listed in README "Divergences from the reference".
     """
     log = log or create_stream_logger(f"train/{cfg.phase}")
     rng = set_random_seed(cfg.seed)

@@ -22,6 +22,7 @@ from ivosw_tpu.interact.recommend import RewardTable
 from ivosw_tpu.models.agent import Agent
 from ivosw_tpu.train.rollout import run_interactive_phase
 from ivosw_tpu.utils.checkpoint import (
+    clear_agent_epoch_snapshots,
     latest_agent_epoch,
     restore_agent,
     save_agent_checkpoint,
@@ -85,6 +86,9 @@ def run(cfg: Config, registry=None, adapter=None, reward_table=None,
         start_epoch=start_epoch,
     )
     save_agent_checkpoint(agent, cfg.ckpt_dir)
+    # snapshots only ever exist for an in-flight run (ADVICE r4): a stale
+    # set would make a forced retrain resume past num_epochs and no-op
+    clear_agent_epoch_snapshots(cfg.ckpt_dir)
     return stats, agent
 
 

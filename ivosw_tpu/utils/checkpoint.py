@@ -136,6 +136,26 @@ def latest_agent_epoch(ckpt_dir: str) -> Optional[int]:
     return best
 
 
+def clear_agent_epoch_snapshots(ckpt_dir: str) -> int:
+    """Delete ``agent_epoch_N.orbax`` resume snapshots; returns count removed.
+
+    Called right after the completion marker (plain ``agent.orbax``) is
+    written: epoch snapshots must only ever exist for an IN-FLIGHT run.
+    Leftover snapshots from a completed run made a later forced retrain
+    compute ``start_epoch = last + 1 > num_epochs``, run ZERO epochs and
+    silently rewrite ``agent.orbax`` from the stale snapshot (ADVICE r4)."""
+    import re
+    import shutil
+
+    removed = 0
+    if os.path.isdir(ckpt_dir):
+        for entry in os.listdir(ckpt_dir):
+            if re.fullmatch(r"agent_epoch_\d+\.orbax", entry):
+                shutil.rmtree(os.path.join(ckpt_dir, entry), ignore_errors=True)
+                removed += 1
+    return removed
+
+
 def restore_agent(agent, ckpt_dir: str, name: str = "agent") -> bool:
     """Full restore (params + opt state + step counter) when available.
 

@@ -297,6 +297,11 @@ def stage_agent(reg, force):
         return log.info(f"skip agent ({out} exists)")
     from ivosw_tpu.train import train_agent
 
+    if force:  # a forced retrain must not resume from in-flight snapshots
+        from ivosw_tpu.utils.checkpoint import clear_agent_epoch_snapshots
+
+        clear_agent_epoch_snapshots(CKPT_DIR)
+
     cfg = base_config()
     # demo-scale divergence from the reference's 5 epochs: 36 episodes/epoch
     # (12 seqs x 3 scribbles) is far less experience per epoch than DAVIS
@@ -322,6 +327,10 @@ def stage_agent_wild(reg, force):
     wild_dir = os.path.join(CKPT_DIR, "wild")
     if os.path.exists(os.path.join(wild_dir, "agent.orbax")) and not force:
         return log.info(f"skip agent_wild ({wild_dir} exists)")
+    if force:  # forced rerun: restart from the oracle agent, not snapshots
+        from ivosw_tpu.utils.checkpoint import clear_agent_epoch_snapshots
+
+        clear_agent_epoch_snapshots(wild_dir)
     from ivosw_tpu.interact.recommend import RewardTable
     from ivosw_tpu.models.agent import Agent
     from ivosw_tpu.train.rollout import run_interactive_phase
@@ -368,6 +377,12 @@ def stage_agent_wild(reg, force):
         start_epoch=start_epoch,
     )
     save_agent_checkpoint(agent, wild_dir)
+    # snapshots only ever exist for an in-flight run (ADVICE r4): leftovers
+    # would make a --force rerun resume past num_epochs (zero epochs) and
+    # skip the restore-from-oracle-agent path entirely
+    from ivosw_tpu.utils.checkpoint import clear_agent_epoch_snapshots
+
+    clear_agent_epoch_snapshots(wild_dir)
 
 
 def stage_evaluate(reg, force):

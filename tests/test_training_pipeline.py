@@ -234,13 +234,18 @@ def test_wild_finetune_records_predicted_states(registry, tmp_path, monkeypatch)
 
 def test_train_agent_resume_from_epoch_snapshot(registry, tmp_path):
     """A killed agent stage resumes from its newest epoch snapshot instead of
-    restarting at epoch 1, and the plain agent.orbax (the pipeline's
+    restarting at epoch 1; the plain agent.orbax (the pipeline's
     skip-if-exists marker) appears only on COMPLETION — a mid-run kill must
     never leave a marker that makes the stage skip with an under-trained
-    agent (round-4 fix; see scripts/run_round4.sh)."""
+    agent (round-4 fix; see scripts/run_round4.sh) — and a COMPLETED run
+    leaves NO epoch snapshots behind, so a later forced retrain can never
+    "resume" past num_epochs and silently run zero epochs (ADVICE r4)."""
     import shutil
 
-    from ivosw_tpu.utils.checkpoint import latest_agent_epoch
+    from ivosw_tpu.utils.checkpoint import (
+        latest_agent_epoch,
+        save_agent_checkpoint,
+    )
 
     # stage 1+2 prerequisites (reward table + pretrain pool)
     cfg = produce_reward.configure(_cfg(tmp_path))
@@ -258,20 +263,18 @@ def test_train_agent_resume_from_epoch_snapshot(registry, tmp_path):
     )
     weights = tmp_path / "weights"
     assert (weights / "agent.orbax").exists()
-    assert (weights / "agent_epoch_1.orbax").exists()
-    assert (weights / "agent_epoch_2.orbax").exists()
+    # snapshots only ever exist for an in-flight run
+    assert latest_agent_epoch(str(weights)) is None
 
-    # simulate a kill after epoch 1: drop the final marker + epoch-2 snapshot
+    # simulate a kill after epoch 1: epoch-1 snapshot present, no marker
+    save_agent_checkpoint(agent_full, str(weights), epoch=1)
     shutil.rmtree(weights / "agent.orbax")
-    shutil.rmtree(weights / "agent_epoch_2.orbax")
     assert latest_agent_epoch(str(weights)) == 1
 
     _, agent_resumed = train_agent.run(
         cfg3, registry=registry, adapter=_adapter(registry)
     )
-    # resumed exactly one epoch of experience on top of the snapshot, and the
-    # completion marker is back
+    # resumed one epoch on top of the snapshot: marker back, snapshots gone
     assert (weights / "agent.orbax").exists()
-    assert (weights / "agent_epoch_2.orbax").exists()
+    assert latest_agent_epoch(str(weights)) is None
     assert agent_resumed.steps_done > 0
-    assert agent_resumed.steps_done <= agent_full.steps_done
