@@ -131,9 +131,30 @@ def probe_qa():
             assess_variables, frames, probs, info.num_objects
         )
         c = float(np.corrcoef(pred_q, true_q)[0, 1])
-        corrs.append(c)
+        corrs.append((seq, c))
         print(f"  {seq}: corr={c:.3f}")
-    print(f"qa held-out corr: mean={np.mean(corrs):.3f} min={np.min(corrs):.3f}")
+    vals = [c for _, c in corrs]
+    print(f"qa held-out corr: mean={np.mean(vals):.3f} min={np.min(vals):.3f}")
+    # committed evidence (hosts are ephemeral; probe stdout lives only in a
+    # /tmp log): results/qa_probe_{tier}.json records the QA fidelity number
+    # the wild-setting tables ride on (VERDICT r4 ask #3)
+    import json
+
+    path = os.path.join("results", f"qa_probe_{demo.TIER}.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "tier": demo.TIER,
+                "what": "Pearson corr of AssessNet-predicted vs true per-frame"
+                        " J&F on round-1 val-clip predictions (held-out)",
+                "per_sequence": dict(corrs),
+                "mean": float(np.mean(vals)),
+                "min": float(np.min(vals)),
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {path}")
 
 
 PROBES = {"bands": probe_bands, "policies": probe_policies, "qa": probe_qa}
