@@ -18,6 +18,15 @@ Variants (timed on the real chip, one-scalar sync per bench.py):
                      crops (the XLA-conv ceiling at these exact shapes:
                      if the fused round's encoder phase hits the same
                      TFLOP/s, the remaining gap is conv-bound, not ours)
+  v4_chunk_interleaved — ONE program, crop+encode interleaved per 32-frame
+                     chunk (the VERDICT r4 double-buffer attempt: can XLA
+                     overlap chunk k+1's crop DMA with chunk k's convs?
+                     Both phases are MXU work on the one core, so the
+                     expected win is small; this records the measurement)
+  v5_two_dispatch_chunk32 — TWO T=32 program dispatches + a Q-pass dispatch,
+                     synced once (production eval with score_chunk=32);
+                     against v0/v1 (=score_chunk=64 in one program) this is
+                     the committed chunk-geometry comparison
 
 Run: python scripts/perf_probe.py   (real TPU; a running pipeline stage is
 SIGSTOPped for the duration via bench._pause_pipeline)
@@ -124,6 +133,55 @@ def main():
         "v1_bf16_inputs_ms": round(time_fn(v0, frames16, probs16), 2),
         "v2_fused_bbox_bf16_ms": round(time_fn(v2, frames16, probs16), 2),
     }
+
+    # v4: chunk-interleaved single program — the bounded "double-buffer"
+    # attempt (VERDICT r4 #6). The monolithic program crops ALL 192 pairs
+    # then encodes them; here crop/encode alternate per 32-frame chunk so
+    # the scheduler COULD overlap chunk k+1's crop HBM traffic with chunk
+    # k's conv compute. Same math, same outputs.
+    @jax.jit
+    def v4(folded, brain, frames, probs, obj_valid, counts):
+        chunks = []
+        for k in range(2):
+            sl = slice(k * (T // 2), (k + 1) * (T // 2))
+            chunks.append(
+                score_clip_folded(folded, frames[sl], probs[sl], obj_valid)
+            )
+        scores = jnp.concatenate(chunks, axis=0)
+        quality = mean_object_quality(scores, obj_valid)
+        state = jnp.stack([quality, counts], axis=1)[None]
+        return brain_forward(brain, state)[0], quality
+
+    out["v4_chunk_interleaved_ms"] = round(time_fn(v4, frames16, probs16), 2)
+
+    # v5: the production score_chunk=32 geometry — two T=32 dispatches +
+    # one Q-pass dispatch, synced once at the end (dispatches pipeline over
+    # the tunnel exactly as the eval loop's chunked scoring does).
+    @jax.jit
+    def score_half(folded, frames, probs, obj_valid):
+        return score_clip_folded(folded, frames, probs, obj_valid)
+
+    @jax.jit
+    def q_pass(brain, scores, obj_valid, counts):
+        quality = mean_object_quality(scores, obj_valid)
+        state = jnp.stack([quality, counts], axis=1)[None]
+        return brain_forward(brain, state)[0], quality
+
+    def v5_round():
+        h = T // 2
+        s1 = score_half(folded, frames16[:h], probs16[:h], obj_valid)
+        s2 = score_half(folded, frames16[h:], probs16[h:], obj_valid)
+        return q_pass(brain, jnp.concatenate([s1, s2], axis=0), obj_valid, counts)
+
+    for _ in range(WARMUP):
+        _sync(jnp, v5_round())
+    tic = time.perf_counter()
+    for _ in range(ITERS):
+        v5_out = v5_round()
+    _sync(jnp, v5_out)
+    out["v5_two_dispatch_chunk32_ms"] = round(
+        (time.perf_counter() - tic) / ITERS * 1e3, 2
+    )
 
     # v3: the conv ceiling — encoder+Q head on PREcomputed crops (no bbox,
     # no crop, no big-tensor reads). 10.78 GFLOP per 256² pair (2·MACs,
