@@ -87,6 +87,12 @@ run_stage() {
     local label=$1; shift
     local attempt rc pid wd watchdog_fired
     for attempt in 1 2 3 4; do
+        # Pre-launch settle probe EVERY attempt: the r4 log shows ~50% of
+        # stages wedge on their FIRST device op even after a clean previous
+        # stage exit. A wedged throwaway probe absorbs the wedge (killing it
+        # heals the chip — CLAUDE.md), so the stage starts against a
+        # known-answering chip; costs ~2 s when healthy.
+        settle_probe
         echo "[$(date +%H:%M:%S)] >>> $label (attempt $attempt): python -u scripts/$*" | tee -a "$LOG"
         python -u "scripts/$1" "${@:2}" >> "$LOG" 2>&1 &
         pid=$!
@@ -120,12 +126,9 @@ run_stage() {
             return 0
         fi
         persist "$label-partial"
-        if [ -e /tmp/r5_watchdog_fired ]; then
-            # the kill may have left the chip mid-op; probe until it answers
-            settle_probe
-        else
-            sleep 20
-        fi
+        # next loop iteration runs the pre-launch settle probe; a plain
+        # failure still gets a short breather first
+        [ -e /tmp/r5_watchdog_fired ] || sleep 20
     done
     echo "STAGE FAILED after 4 attempts: $label" | tee -a "$LOG"
     echo "$label" >> /tmp/r5_failed_stages
