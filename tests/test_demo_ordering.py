@@ -95,6 +95,22 @@ def test_transfer_backbone_ordering(vos):
     assert _auc("oracle", "ours", vos=vos) > _auc("oracle", "worst", vos=vos)
 
 
+def test_ytbvos_demo_ordering():
+    """YouTube-VOS-format matrix (results/README.md, reference
+    results/*/*/ytbvos): the same trained weights evaluated through the
+    full ytbvos ingestion chain (converter → JSON registry → JPEG/PNG
+    round-trips → committed human scribbles) keep the reference's complete
+    wild ordering ours > worst > linspace > random and oracle ours > worst."""
+    aucs = {
+        m: _auc("wild", m, dataset="ytbvos-demo")
+        for m in ("ours", "worst", "linspace", "random")
+    }
+    assert aucs["ours"] > aucs["worst"] > aucs["linspace"] > aucs["random"], aucs
+    assert _auc("oracle", "ours", dataset="ytbvos-demo") > _auc(
+        "oracle", "worst", dataset="ytbvos-demo"
+    )
+
+
 def test_hd_tier_ordering():
     """HD tier (192×256, 3 objects — results/README.md): the ordering
     reproduces as the task approaches DAVIS conditions, not just at 48×64."""
