@@ -59,7 +59,14 @@ def test_ours_beats_worst_on_every_seed():
     """Multi-seed robustness (results/README.md): the agent's edge over the
     worst-frame policy — the claim the reference's table makes — holds on
     every committed registry seed, in both settings."""
-    for dataset in ("synthetic", "synthetic-seed1", "synthetic-seed2"):
+    for dataset in (
+        "synthetic",
+        "synthetic-seed1",
+        "synthetic-seed2",
+        "synthetic-seed3",
+        "synthetic-seed4",
+        "synthetic-seed5",
+    ):
         for setting in ("oracle", "wild"):
             ours = _auc(setting, "ours", dataset)
             worst = _auc(setting, "worst", dataset)
