@@ -279,10 +279,16 @@ def main():
     # production inference path: BN-folded encoder (eval folds at load time)
     import functools as _ft
 
-    @_ft.partial(jax.jit, static_argnames=("impl",))
+    # chunk=32: crop+encode interleave per 32-frame slice inside the ONE
+    # program — ~10 % faster than the monolithic T=64 geometry and equal to
+    # the bare-encoder ceiling at these shapes (perf_probe.json v4 vs v0/v3);
+    # matches the eval loop's production chunk (FRAME_CHUNK/score_chunk)
+    @_ft.partial(jax.jit, static_argnames=("impl", "chunk"))
     def fused_round(folded_vars, brain_params, frames, probs, obj_valid, counts,
-                    impl="einsum"):
-        scores = score_clip_folded(folded_vars, frames, probs, obj_valid, impl=impl)
+                    impl="einsum", chunk=32):
+        scores = score_clip_folded(
+            folded_vars, frames, probs, obj_valid, impl=impl, chunk=chunk
+        )
         quality = mean_object_quality(scores, obj_valid)
         state = jnp.stack([quality, counts], axis=1)[None]
         return brain_forward(brain_params, state)[0], quality
@@ -309,6 +315,7 @@ def main():
     # headline inputs = the production residency; the other dtype is detail
     hf, hp = (frames16, probs16) if bf16_default else (frames, probs)
     fused_time = time_round(fused_round, folded_vars, hf, hp)
+    fused_mono_time = time_round(fused_round, folded_vars, hf, hp, chunk=None)
     fused_impl = "einsum"
     fused_pallas_time = None
     if not pallas_skip_reason:
@@ -376,6 +383,8 @@ def main():
 
     detail = {
         "fused_ms_per_round": round(fused_time * 1e3, 2),
+        "fused_chunk": 32,
+        "fused_monolithic_ms": round(fused_mono_time * 1e3, 2),
         "fused_impl": fused_impl,
         "fused_input_dtype": "bfloat16" if bf16_default else "float32",
         f"fused_{'float32' if bf16_default else 'bfloat16'}_inputs_ms": round(

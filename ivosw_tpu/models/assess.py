@@ -157,13 +157,19 @@ def assess_forward(
     return model.apply(variables, tf_roi, tp_roi, train=False)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+def _chunk_slices(t: int, chunk: int):
+    """Static [start, end) frame slices covering t in steps of chunk."""
+    return [(s, min(s + chunk, t)) for s in range(0, t, chunk)]
+
+
+@functools.partial(jax.jit, static_argnames=("impl", "chunk"))
 def score_clip(
     variables: Dict[str, Any],
     frames: jnp.ndarray,
     probs: jnp.ndarray,
     obj_valid: jnp.ndarray,
     impl: str = "auto",
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Score every (frame, object) pair of a clip in one device pass.
 
@@ -178,7 +184,24 @@ def score_clip(
     auto. The frame tensor is never broadcast/materialised at T×O (that
     would be ~1 GB of HBM traffic at DAVIS scale); only the 256² crops
     exist per pair.
+
+    chunk: when set and < T, crop+encode run per chunk-frame slice inside
+    the SAME program (static unroll). Measured on v5e at 480p/T=64/O=3 the
+    interleaved geometry runs ~10 % faster than the monolithic one — the
+    per-chunk conv batch tiles better and chunk k+1's crop HBM traffic
+    overlaps chunk k's convs — and its per-chunk peak matches the eval
+    loop's chunked dispatches (`results/perf_probe.json` v4 vs v0/v5).
     """
+    if chunk and probs.shape[0] > chunk:
+        parts = [
+            _score_clip_body(variables, frames[s:e], probs[s:e], obj_valid, impl)
+            for s, e in _chunk_slices(probs.shape[0], chunk)
+        ]
+        return jnp.concatenate(parts, axis=0)
+    return _score_clip_body(variables, frames, probs, obj_valid, impl)
+
+
+def _score_clip_body(variables, frames, probs, obj_valid, impl):
     from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_from_probs
 
     t, o = probs.shape[0], probs.shape[1]
@@ -193,19 +216,33 @@ def score_clip(
     return q.reshape(t, o) * obj_valid[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+@functools.partial(jax.jit, static_argnames=("impl", "chunk"))
 def score_clip_folded(
     folded_variables: Dict[str, Any],
     frames: jnp.ndarray,
     probs: jnp.ndarray,
     obj_valid: jnp.ndarray,
     impl: str = "auto",
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """:func:`score_clip` on BN-folded params (see :mod:`ivosw_tpu.models.fold`).
 
     Same contract and (to bf16 tolerance) same numerics; the encoder runs the
     constant-folded graph: bf16 crops feed one 4-channel stem conv, no BN ops,
-    no f32 normalisation pass."""
+    no f32 normalisation pass. ``chunk`` as in :func:`score_clip` (same ~10 %
+    interleaved-geometry win, perf_probe.json v4)."""
+    if chunk and probs.shape[0] > chunk:
+        parts = [
+            _score_clip_folded_body(
+                folded_variables, frames[s:e], probs[s:e], obj_valid, impl
+            )
+            for s, e in _chunk_slices(probs.shape[0], chunk)
+        ]
+        return jnp.concatenate(parts, axis=0)
+    return _score_clip_folded_body(folded_variables, frames, probs, obj_valid, impl)
+
+
+def _score_clip_folded_body(folded_variables, frames, probs, obj_valid, impl):
     from ivosw_tpu.kernels.roi_pallas import roi_crop_pairs_from_probs
 
     t, o = probs.shape[0], probs.shape[1]

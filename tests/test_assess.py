@@ -250,6 +250,42 @@ def test_score_clip_fused_vs_loop():
     np.testing.assert_allclose(mq, fused.mean(axis=1), atol=1e-6)
 
 
+def test_score_clip_chunked_matches_monolithic():
+    """chunk= must not change the scores: the interleaved per-chunk geometry
+    (perf_probe.json v4, ~10 % faster on v5e) is a pure scheduling change.
+    Covers a chunk that divides T, one that leaves a ragged tail, and the
+    folded variant."""
+    import jax
+
+    from ivosw_tpu.models.assess import (
+        init_assess_variables,
+        score_clip,
+        score_clip_folded,
+    )
+    from ivosw_tpu.models.fold import fold_assess_variables
+
+    variables = init_assess_variables(jax.random.PRNGKey(1))
+    folded = fold_assess_variables(variables)
+    rng = np.random.default_rng(7)
+    t, o, h, w = 5, 2, 96, 96
+    frames = rng.random((t, h, w, 3)).astype(np.float32)
+    probs = rng.random((t, o, h, w)).astype(np.float32)
+    obj_valid = np.array([1.0, 1.0], dtype=np.float32)
+
+    mono = np.asarray(score_clip(variables, frames, probs, obj_valid))
+    for chunk in (2, 3, 5, 64):
+        part = np.asarray(
+            score_clip(variables, frames, probs, obj_valid, chunk=chunk)
+        )
+        np.testing.assert_allclose(mono, part, atol=1e-5)
+
+    mono_f = np.asarray(score_clip_folded(folded, frames, probs, obj_valid))
+    part_f = np.asarray(
+        score_clip_folded(folded, frames, probs, obj_valid, chunk=2)
+    )
+    np.testing.assert_allclose(mono_f, part_f, atol=1e-5)
+
+
 def test_init_from_imagenet_trunk_equivalence(tmp_path):
     """init_from_imagenet(path) on a torchvision-named resnet50 state_dict
     must produce the same trunk/conv1/bn1 (params AND batch stats) as the
