@@ -19,7 +19,13 @@ Differences from the synthetic in-memory eval this deliberately adds:
     (``interact/session.py::_load_human_scribble``), not robot bootstrap —
     the path DAVIS/ytbvos users hit in production.
 
-Usage: python scripts/demo_ytbvos.py [--force]
+Usage: python scripts/demo_ytbvos.py [--force] [--vos tapnet|matchnet|ipnet]
+
+``--vos`` evaluates another trained backbone family over the SAME converted
+ytbvos tree with the same tapnet-trained agent/AssessNet (transfer, as in
+demo_ordering's matchnet/ipnet matrices) — completing the reference table's
+full 3-backbone × 2-dataset cross product
+(reference results/{ATNet,MANet,IPN}/*/ytbvos/).
 Needs the trained default-tier weights (weights_demo/ — run
 scripts/demo_ordering.py first).
 """
@@ -37,6 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ivosw_tpu.utils.misc import create_stream_logger, enable_compile_cache
 
 log = create_stream_logger("demo_ytbvos")
+
+VOS_NAME = "tapnet"
 
 CKPT_DIR = "weights_demo"
 SRC = "train_demo/ytbvos_src"
@@ -133,10 +141,10 @@ def stage_evaluate(force: bool):
     registry = SequenceRegistry.from_json(os.path.join(DST, "scb_ytbvos.json"))
     results = {}
     for setting, method in EVAL_CONFIGS:
-        cfg = Config(seed=0, vos="tapnet", dataset="ytbvos", ckpt_dir=CKPT_DIR)
+        cfg = Config(seed=0, vos=VOS_NAME, dataset="ytbvos", ckpt_dir=CKPT_DIR)
         cfg.setting, cfg.method = setting, method
         cfg.assess_net.smooth_quality = 3
-        report_dir = os.path.join("results", "tapnet", setting, "ytbvos-demo", method)
+        report_dir = os.path.join("results", VOS_NAME, setting, "ytbvos-demo", method)
         if os.path.exists(os.path.join(report_dir, "summary.json")) and not force:
             with open(os.path.join(report_dir, "summary.json")) as fp:
                 results[(setting, method)] = json.load(fp)["auc"]
@@ -165,7 +173,7 @@ def stage_evaluate(force: bool):
             subset="val",
             max_nb_interactions=8,
             report_save_dir=report_dir,
-            vos_name="tapnet",
+            vos_name=VOS_NAME,
         )
         results[(setting, method)] = summary["auc"]
         log.info(f"eval {setting}/{method}: auc={summary['auc']:.4f}")
@@ -184,8 +192,11 @@ STAGES = {
 
 
 def main(argv=None):
+    global VOS_NAME
     argv = argv if argv is not None else sys.argv[1:]
     force = "--force" in argv
+    if "--vos" in argv:
+        VOS_NAME = argv[argv.index("--vos") + 1]
     stages = [a for a in argv if a in STAGES] or list(STAGES)
     enable_compile_cache()
     for name in stages:
