@@ -45,7 +45,7 @@ def _pause_pipeline():
     import threading
 
     pid, log_path = None, None
-    for tag in ("r5b", "r5", "r4", "r3"):
+    for tag in ("r5c", "r5b", "r5", "r4", "r3"):
         try:
             pidfile = f"/tmp/{tag}_stage.pid"
             with open(pidfile) as fp:
