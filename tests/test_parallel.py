@@ -111,12 +111,13 @@ def test_dp_vos_train_step_matches_single_device(eight_devices):
         )
     # per-shard programs (vmap over 1 window vs 8) round differently in
     # f32: agreement to roundoff scale, not bitwise (measured drift ~2e-5
-    # relative on the loss)
+    # relative on the loss on CPU; param drift up to 2.3e-5 on v5e where
+    # the single-device baseline additionally runs TPU conv tiling)
     np.testing.assert_allclose(
         float(loss_single), float(loss_sharded), rtol=2e-4
     )
     for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
 
 
 def test_dp_vos_training_runs_and_learns(eight_devices, tmp_path):
@@ -304,18 +305,24 @@ def test_sp_mesh_device_guards(eight_devices):
 
     from ivosw_tpu.interact import recommend
 
+    # mirror _sp_mesh's device selection: the default backend when it is
+    # big enough, else the virtual-CPU fallback (single-TPU hosts)
+    expected = jax.devices()
+    if len(expected) < 2:
+        expected = jax.devices("cpu")
+
     mesh = recommend._sp_mesh(2)
     assert tuple(d.id for d in mesh.devices.flat) == tuple(
-        d.id for d in jax.devices()[:2]
+        d.id for d in expected[:2]
     )
     assert recommend._sp_mesh(2) is mesh  # cache hit on same device set
     assert recommend._sp_mesh(1) is None
 
-    with jax.default_device(jax.devices()[1]):
+    with jax.default_device(expected[1]):
         with _pytest.raises(ValueError, match="default_device"):
             recommend._sp_mesh(2)
 
     # pinning the default device to devices[0] is harmless (it IS the
     # device an unpinned process would use) — no refusal, same cached mesh
-    with jax.default_device(jax.devices()[0]):
+    with jax.default_device(expected[0]):
         assert recommend._sp_mesh(2) is mesh

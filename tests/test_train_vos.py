@@ -214,35 +214,43 @@ def test_trained_family_round2_beats_round1(tmp_path, family):
         split="train",
         seed=9,
     )
+    import jax
+
     init_fn, _, _ = _family(family)
     cfg = Config(seed=2, vos=family)
     cfg.data.subset = "train"
     cfg.ckpt_dir = str(tmp_path / f"w3_{family}")
     params0 = init_fn(2, hw=(48, 64))
-    stats = train_vos.run(
-        cfg, registry=reg2, num_steps=150, window=3, lr=3e-4,
-        params=params0, save_every=150, round2_prob=0.6,
-    )
+    # HIGHEST precision: TPU's default f32 convs run multi-pass bf16; at
+    # this 150-step micro scale that lands a measurably different optimum
+    # (observed: ipnet improved on only 1/3 clips on v5e at default
+    # precision). Pinning makes the training outcome backend-stable; the
+    # full-scale behaviour is guarded by the committed results matrices.
+    with jax.default_matmul_precision("highest"):
+        stats = train_vos.run(
+            cfg, registry=reg2, num_steps=150, window=3, lr=3e-4,
+            params=params0, save_every=150, round2_prob=0.6,
+        )
 
-    improved = 0
-    for seq in ["tv-a", "tv-b", "tv-c"]:
-        frames = reg2.load_images(seq)
-        gt = reg2.load_annotations(seq)
-        robot = ScribbleRobot(seed=1)
-        adapter = Adapter(stats["params"], encode_chunk=6)
-        state = adapter.begin_sequence(frames, 2)
+        improved = 0
+        for seq in ["tv-a", "tv-b", "tv-c"]:
+            frames = reg2.load_images(seq)
+            gt = reg2.load_annotations(seq)
+            robot = ScribbleRobot(seed=1)
+            adapter = Adapter(stats["params"], encode_chunk=6)
+            state = adapter.begin_sequence(frames, 2)
 
-        scrib1 = robot.interact(seq, np.zeros_like(gt), gt, 2, frame=2)
-        masks1, _, state = adapter.segment(state, scrib1, 2, 1)
-        j_per = batched_jaccard(gt, masks1, nb_objects=2)
+            scrib1 = robot.interact(seq, np.zeros_like(gt), gt, 2, frame=2)
+            masks1, _, state = adapter.segment(state, scrib1, 2, 1)
+            j_per = batched_jaccard(gt, masks1, nb_objects=2)
 
-        worst = int(np.argmin(j_per))
-        scrib2 = robot.interact(seq, masks1, gt, 2, frame=worst)
-        masks2, _, state = adapter.segment(state, scrib2, worst, 2)
-        j1 = j_per.mean()
-        j2 = batched_jaccard(gt, masks2, nb_objects=2).mean()
-        if j2 > j1:
-            improved += 1
+            worst = int(np.argmin(j_per))
+            scrib2 = robot.interact(seq, masks1, gt, 2, frame=worst)
+            masks2, _, state = adapter.segment(state, scrib2, worst, 2)
+            j1 = j_per.mean()
+            j2 = batched_jaccard(gt, masks2, nb_objects=2).mean()
+            if j2 > j1:
+                improved += 1
     # demand improvement on a majority of clips (the un-tuned 150-step
     # budget leaves one clip of slack vs tapnet's all-3 requirement)
     assert improved >= 2, (family, improved)
